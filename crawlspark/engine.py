@@ -1,0 +1,379 @@
+"""CrawlEngine — one crawl round as one DataFrame job, atomically
+committed and resumable.
+
+Generalizes the reference's crawl lifecycle
+(mendeley/MendeleyDocumentCrawler.java:59-122: pager → retry → handlers
+→ atomic alias publish) into:
+
+    frontier scan
+      → reduce per-URL state (retries supersede; min (not_before, depth))
+      → URL-seen split: cuckoo pre-filter → exact anti-join on maybe-set
+      → robots filter (denied URLs become seen, consume no budget)
+      → per-host politeness budget (salted window rank, total order)
+      → status = f(url, retry) (pure, replayable)
+      → vectorized fetch of 200s (Arrow batches)
+      → appends: images, fetch_log, url_seen(+cuckoo), frontier deltas
+      → round manifest commit (table snapshot ids + counters + lineage)
+
+Crash recovery: the round manifest names every table's snapshot id; on
+resume each table is rolled back to the last committed manifest, so a
+killed run replays the next round bit-identically (T4 generalization of
+the reference's in-memory nextUrl marker, mendeley/MendeleyPager.java:
+87-99, which loses all progress on crash).
+
+The frontier is APPEND-ONLY: pending = frontier rows minus the seen
+set, reduced per URL. No read-modify-write of frontier partitions →
+Iceberg-friendly at 10^10 rows (only the seen-set anti-join scales with
+frontier size, and it is bucketed + cuckoo-prefiltered).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .canon import canonicalize
+from .fetch import expand_outlinks, fetch_images, with_status
+from .hashing import h60, h60_sql
+from .politeness import filter_robots, select_budget
+from .snaptable import SnapTable
+from .synth import SynthConfig
+from .urlseen import CuckooSeen
+
+ROBOTS_DENIED_STATUS = -1
+PERM_FAIL_STATUS = -504
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+        T.StructField("not_before", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+    ]
+)
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("round_id", T.IntegerType(), False),
+    ]
+)
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("round_id", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("retry_count", T.IntegerType(), False),
+    ]
+)
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("round_id", T.IntegerType(), False),
+    ]
+)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: SynthConfig,
+        robots_pdf=None,
+        politeness_pdf=None,
+        use_cuckoo: bool = True,
+        cuckoo_pg: int = 32,
+    ) -> None:
+        from .synth import gen_politeness, gen_robots
+
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg
+        self.use_cuckoo = use_cuckoo
+        os.makedirs(workdir, exist_ok=True)
+        self.frontier = SnapTable(os.path.join(workdir, "frontier"))
+        self.seen = SnapTable(os.path.join(workdir, "url_seen"))
+        self.images = SnapTable(os.path.join(workdir, "images"))
+        self.fetch_log = SnapTable(os.path.join(workdir, "fetch_log"))
+        self.cuckoo = CuckooSeen(os.path.join(workdir, "cuckoo"), n_pg=cuckoo_pg)
+        self.state_dir = os.path.join(workdir, "state")
+        os.makedirs(self.state_dir, exist_ok=True)
+        for t, schema in (
+            (self.frontier, FRONTIER_SCHEMA),
+            (self.seen, SEEN_SCHEMA),
+            (self.images, IMAGES_SCHEMA),
+            (self.fetch_log, LOG_SCHEMA),
+        ):
+            if not t.exists():
+                t.commit_empty(schema)
+        rp = robots_pdf if robots_pdf is not None else gen_robots(cfg)
+        pp = politeness_pdf if politeness_pdf is not None else gen_politeness(cfg)
+        self.robots = spark.createDataFrame(
+            rp, schema="host string, path_prefix string"
+        )
+        self.politeness = spark.createDataFrame(pp, schema="host string, budget int")
+
+    # ----------------------------------------------------------- state
+    def _head_path(self) -> str:
+        return os.path.join(self.state_dir, "HEAD")
+
+    def last_round(self) -> dict | None:
+        try:
+            with open(self._head_path()) as f:
+                rid = int(f.read().strip())
+            with open(os.path.join(self.state_dir, f"round-{rid:06d}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _commit_round(self, round_id: int, counters: dict, lineage: list) -> None:
+        manifest = {
+            "round_id": round_id,
+            "snapshots": {
+                "frontier": self.frontier.current_snapshot_id(),
+                "url_seen": self.seen.current_snapshot_id(),
+                "images": self.images.current_snapshot_id(),
+                "fetch_log": self.fetch_log.current_snapshot_id(),
+                "cuckoo": self.cuckoo.table.current_snapshot_id(),
+            },
+            "counters": counters,
+            "lineage": lineage,
+        }
+        p = os.path.join(self.state_dir, f"round-{round_id:06d}.json")
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, p)
+        tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(round_id))
+        os.replace(tmp, self._head_path())
+
+    def resume(self) -> int:
+        """Roll every table back to the last committed round; return the
+        next round id. Discards any partial writes from a crashed round."""
+        m = self.last_round()
+        if m is None:
+            return 0
+        snaps = m["snapshots"]
+        self.frontier.rollback(snaps["frontier"])
+        self.seen.rollback(snaps["url_seen"])
+        self.images.rollback(snaps["images"])
+        self.fetch_log.rollback(snaps["fetch_log"])
+        self.cuckoo.table.rollback(snaps["cuckoo"])
+        return m["round_id"] + 1
+
+    # ------------------------------------------------------------ seeds
+    def add_seeds(self, seeds_df: DataFrame) -> None:
+        """Canonicalize + dedup seed URLs into the frontier (round 0)."""
+        rows = (
+            seeds_df.select(
+                canonicalize("url").alias("url"),
+                F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
+            )
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+            .select(
+                "url",
+                F.lit(0).cast("int").alias("retry_count"),
+                F.lit(0).cast("int").alias("not_before"),
+                "depth",
+            )
+        )
+        self.frontier.append(rows)
+
+    # ------------------------------------------------------------ round
+    def _pending(self, round_id: int) -> DataFrame:
+        """Reduce the append-only frontier to per-URL pending state and
+        drop anything already seen."""
+        fr = self.frontier.read(self.spark)
+        # retries supersede (max retry_count); else min (not_before, depth)
+        reduced = (
+            fr.groupBy("url")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("retry_count"),
+                        (-F.col("not_before")).alias("nnb"),
+                        (-F.col("depth")).alias("nd"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                "url",
+                F.col("s.retry_count").alias("retry_count"),
+                (-F.col("s.nnb")).cast("int").alias("not_before"),
+                (-F.col("s.nd")).cast("int").alias("depth"),
+            )
+        )
+        seen_urls = self.seen.read(self.spark).select("url")
+        if self.use_cuckoo:
+            # scale path: cuckoo filter splits candidates; only the
+            # maybe-seen slice pays the exact anti-join
+            new, maybe = self.cuckoo.split_candidates(reduced, "url")
+            truly_new = maybe.join(seen_urls, "url", "left_anti")
+            unseen = new.unionByName(truly_new)
+        else:
+            unseen = reduced.join(seen_urls, "url", "left_anti")
+        from .hashing import unit
+
+        return (
+            unseen.filter(F.col("not_before") <= round_id)
+            .withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+            .withColumn("priority", unit(F.col("url"), "|prio"))
+        )
+
+    def run_round(self, round_id: int) -> dict:
+        """Execute one crawl round; returns counters. Commits atomically."""
+        pending = self._pending(round_id).cache()
+        allowed, denied = filter_robots(pending, self.robots)
+        selected = select_budget(allowed, self.politeness)
+        selected = with_status(selected).cache()
+
+        log_df = selected.select(
+            F.lit(round_id).cast("int").alias("round_id"),
+            "host",
+            F.col("rank").cast("int"),
+            "url",
+            "status",
+            "retry_count",
+        )
+        ok = selected.filter(F.col("status") == 200).cache()
+        # fetch once, reuse for both the append and the lineage counters
+        fetched = fetch_images(ok).cache()
+        images_df = fetched.select(
+            "image_id",
+            "url",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+            F.lit(round_id).cast("int").alias("round_id"),
+        )
+
+        # ---- commits (order: data first, state manifest last = commit point)
+        self.images.append(images_df, nfiles=8)
+        self.fetch_log.append(log_df, nfiles=2)
+
+        # ---- lineage: per-partition fetched-row counts (A4 metrics)
+        lineage = sorted(
+            (
+                {"part_id": int(r["part_id"]), "rows": int(r["rows"])}
+                for r in fetched.groupBy("part_id")
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            ),
+            key=lambda d: d["part_id"],
+        )
+
+        newly_seen = (
+            ok.select("url", F.lit(200).alias("status"))
+            .unionByName(
+                selected.filter(
+                    (F.col("status") == 504)
+                    & (F.col("retry_count") + 1 > self.cfg.max_retries)
+                ).select("url", F.lit(PERM_FAIL_STATUS).alias("status"))
+            )
+            .unionByName(
+                denied.select("url", F.lit(ROBOTS_DENIED_STATUS).alias("status"))
+            )
+            .select(
+                "url",
+                h60(F.col("url")).alias("url_hash"),
+                F.col("status").cast("int"),
+                F.lit(round_id).cast("int").alias("round_id"),
+            )
+        )
+        self.seen.append(newly_seen, nfiles=2)
+        if self.use_cuckoo:
+            self.cuckoo.insert(newly_seen.select("url"))
+
+        retries = selected.filter(
+            (F.col("status") == 504)
+            & (F.col("retry_count") + 1 <= self.cfg.max_retries)
+        ).select(
+            "url",
+            (F.col("retry_count") + 1).cast("int").alias("retry_count"),
+            # linear backoff in rounds (T2: retry# × httpTimeout)
+            (F.lit(round_id) + F.col("retry_count") + 1).cast("int").alias("not_before"),
+            "depth",
+        )
+        outlinks = (
+            expand_outlinks(
+                ok.select("url", "host", "depth"),
+                self.cfg.n_hosts,
+                self.cfg.target_space,
+                self.cfg.max_depth,
+            )
+            .select(canonicalize("dst_url").alias("url"), "depth")
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+            .select(
+                "url",
+                F.lit(0).cast("int").alias("retry_count"),
+                F.lit(round_id + 1).cast("int").alias("not_before"),
+                F.col("depth").cast("int"),
+            )
+        )
+        self.frontier.append(retries.unionByName(outlinks), nfiles=2)
+
+        stats = selected.agg(
+            F.count("*").alias("selected"),
+            F.sum((F.col("status") == 200).cast("int")).alias("fetched"),
+            F.sum((F.col("status") == 504).cast("int")).alias("failed_504"),
+        ).collect()[0]
+        counters = {
+            "round_id": round_id,
+            "selected": int(stats["selected"] or 0),
+            "fetched": int(stats["fetched"] or 0),
+            "failed_504": int(stats["failed_504"] or 0),
+        }
+        self._commit_round(round_id, counters, lineage)
+        for df in (pending, selected, ok, fetched):
+            df.unpersist()
+        # keep small-file counts bounded (Iceberg rewrite_data_files analogue)
+        if round_id % 10 == 9:
+            self.frontier.maybe_compact(self.spark)
+            self.seen.maybe_compact(self.spark)
+        return counters
+
+    def has_pending_work(self) -> bool:
+        fr = self.frontier.read(self.spark)
+        seen_urls = self.seen.read(self.spark).select("url")
+        return fr.join(seen_urls, "url", "left_anti").limit(1).count() > 0
+
+    def run(self, max_rounds: int = 1000, stop_after: int | None = None) -> list[dict]:
+        """Run rounds until the frontier is exhausted (or limits hit)."""
+        start = self.resume() if self.last_round() is not None else 0
+        results = []
+        r = start
+        executed = 0
+        while r < max_rounds:
+            if stop_after is not None and executed >= stop_after:
+                break
+            c = self.run_round(r)
+            results.append(c)
+            executed += 1
+            # the exhaustive anti-join check only runs on idle rounds
+            if c["selected"] == 0 and not self.has_pending_work():
+                break
+            r += 1
+        return results

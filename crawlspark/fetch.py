@@ -1,0 +1,142 @@
+"""Vectorized fetch stage (S8) + fault model (T2) + outlink expansion.
+
+The reference fetches pages synchronously one at a time
+(mendeley/MendeleyPager.java:85-131) and downloads binary assets with
+skip-if-exists (contentful/backup/ContentfulBackup.java:147-208). Here
+a whole fetch batch is one DataFrame:
+
+* HTTP status is a *pure function* of (url, retry_count) computed with
+  built-in SQL expressions — so retries replay identically on resume
+  (reference analogue: 504 + linear backoff,
+  mendeley/MendeleyDocumentCrawler.java:72-87).
+* Payload synthesis (the stand-in for the network fetch + image decode)
+  runs in ``mapInPandas`` — Arrow-batched, zero per-row Python in the
+  plan. On a real crawl this is where an async HTTP client would live;
+  the batch shape, schema and partitioning are the real thing.
+* Outlink expansion is pure built-in SQL (explode + md5 arithmetic),
+  matching synth.py_outlinks bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hashing import h60_sql
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("part_id", T.IntegerType(), False),
+    ]
+)
+
+
+def with_status(selected: DataFrame) -> DataFrame:
+    """status = f(url, retry_count): ~2% of URLs 504 for fail_times
+    attempts; fail_times==4 exceeds max retries → permanent failure."""
+    h = h60_sql("concat(url, '|fault')")
+    fail_times = (
+        f"CASE WHEN pmod({h}, 1000) = 0 THEN 4 "
+        f"WHEN pmod({h}, 1000) < 20 THEN 1 + pmod(shiftright({h}, 8), 3) "
+        f"ELSE 0 END"
+    )
+    return selected.withColumn(
+        "status",
+        F.expr(f"CASE WHEN retry_count < ({fail_times}) THEN 504 ELSE 200 END").cast(
+            "int"
+        ),
+    )
+
+
+def fetch_images(ok_urls: DataFrame) -> DataFrame:
+    """Arrow-batched synthetic fetch+decode for status-200 URLs.
+
+    Input: DataFrame with a `url` column. Output: FETCHED_SCHEMA rows,
+    including `part_id` (the executing partition) for lineage counters.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # executor-side import; repo root is pinned so spark-submit
+        # --py-files and bare local mode both resolve the package
+        if _REPO_ROOT not in sys.path:
+            sys.path.insert(0, _REPO_ROOT)
+        from pyspark import TaskContext
+
+        from crawlspark.codec import synth_image
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for url in pdf["url"]:
+                img = synth_image(url)
+                rows.append(
+                    {
+                        "url": url,
+                        "image_id": str(uuid.uuid5(uuid.NAMESPACE_URL, url)),
+                        "bytes": img["bytes"],
+                        "w": img["w"],
+                        "h": img["h"],
+                        "fmt": img["fmt"],
+                        "caption": img["caption"],
+                        "phash": img["phash"],
+                        "part_id": pid,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FETCHED_SCHEMA.fields])
+
+    return ok_urls.select("url").mapInPandas(run, FETCHED_SCHEMA)
+
+
+def expand_outlinks(fetched: DataFrame, n_hosts: int, target_space: int, max_depth: int) -> DataFrame:
+    """0-3 outlinks per fetched page (same-host biased), depth-bounded.
+    Pure built-in SQL; bit-identical to synth.py_outlinks."""
+    h_links = h60_sql("concat(url, '|links')")
+    h_same = h60_sql("concat(url, '|l', cast(_i as string))")
+    h_host = h60_sql("concat(url, '|h', cast(_i as string))")
+    h_tgt = h60_sql("concat(url, '|t', cast(_i as string))")
+    df = (
+        fetched.filter(F.col("depth") < max_depth)
+        .withColumn("_n", F.expr(f"pmod({h_links}, 4)"))
+        .filter(F.col("_n") > 0)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+    )
+    same = F.expr(f"pmod({h_same}, 10) < 8")
+    other_host = F.concat(
+        F.lit("h"),
+        (F.expr(f"pmod({h_host}, {n_hosts})") + 1).cast("string"),
+        F.lit(".example.com"),
+    )
+    dst_host = F.when(same, F.col("host")).otherwise(other_host)
+    k = F.expr(f"pmod({h_tgt}, {target_space})")
+    dst = F.concat(
+        F.lit("https://"),
+        dst_host,
+        F.lit("/img/"),
+        k.cast("string"),
+        F.lit("?p="),
+        F.pmod(k, F.lit(13)).cast("string"),
+        F.lit("&s="),
+        F.pmod(k, F.lit(7)).cast("string"),
+    )
+    return df.select(
+        dst.alias("dst_url"), (F.col("depth") + 1).alias("depth")
+    )

@@ -1,0 +1,149 @@
+"""Golden single-threaded reference simulator (FIXTURES.md §8).
+
+Replays the reference's crawl loop semantics — lazy pager (S1/S2),
+priority order (O1), per-host politeness budget (O2/T3), 504 retries
+with linear backoff (T2), skip-if-seen dedup (F9/A5) — as a plain
+Python loop, independent of Spark. The engine's output must match this
+EXACTLY at every parallelism level (north_rule: "reproduce the exact
+crawl ordering and final URL-seen set").
+
+Reference loop shape being simulated: mendeley/MendeleyDocumentCrawler
+.java:59-122 (page → retry → handle), generalized from one pager to a
+per-host prioritized frontier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from .canon import py_canonicalize
+from .hashing import py_h60
+from .synth import (
+    SynthConfig,
+    budget_for_hostid,
+    py_outlinks,
+    py_priority,
+    py_status,
+    robots_denied,
+)
+
+ROBOTS_DENIED_STATUS = -1
+PERM_FAIL_STATUS = -504
+
+
+def _host_of(url: str) -> str:
+    return url.split("://", 1)[1].split("/", 1)[0]
+
+
+def _hostid(host: str) -> int:
+    return int(host.split(".", 1)[0][1:])
+
+
+@dataclass
+class GoldenResult:
+    fetch_order: pd.DataFrame  # round_id, host, rank, url, status, retry_count
+    url_seen: pd.DataFrame  # url, url_hash, status, round_id
+    n_rounds: int
+
+
+def simulate(
+    seeds: list[str],
+    cfg: SynthConfig,
+    max_rounds: int = 1000,
+    budget_fn=None,
+) -> GoldenResult:
+    budget_fn = budget_fn or (lambda hostid: budget_for_hostid(hostid))
+    # frontier entries: url -> (retry_count, not_before, depth)
+    frontier: dict[str, tuple[int, int, int]] = {}
+    for u in seeds:
+        cu = py_canonicalize(u)
+        if cu not in frontier:
+            frontier[cu] = (0, 0, 0)
+    seen: dict[str, tuple[int, int]] = {}  # url -> (status, round)
+    log_rows = []
+    r = 0
+    while r < max_rounds:
+        pending = [
+            (u, rc, dep)
+            for u, (rc, nb, dep) in frontier.items()
+            if nb <= r and u not in seen
+        ]
+        if not pending:
+            # future retries may exist
+            future = [u for u, (rc, nb, dep) in frontier.items() if u not in seen]
+            if not future:
+                break
+            r += 1
+            continue
+        # robots filter: denied URLs are recorded as seen, consume no budget
+        ready = []
+        for u, rc, dep in pending:
+            host = _host_of(u)
+            path = "/" + u.split("://", 1)[1].split("/", 1)[1]
+            if robots_denied(host) and path.startswith("/img/priv"):
+                seen[u] = (ROBOTS_DENIED_STATUS, r)
+                del frontier[u]
+            else:
+                ready.append((u, rc, dep, host))
+        # per-host politeness: top-budget by (priority desc, url asc)
+        by_host: dict[str, list] = {}
+        for u, rc, dep, host in ready:
+            by_host.setdefault(host, []).append((u, rc, dep))
+        selected = []
+        for host, rows in by_host.items():
+            budget = budget_fn(_hostid(host))
+            rows.sort(key=lambda t: (-py_priority(t[0]), t[0]))
+            for rank, (u, rc, dep) in enumerate(rows[:budget], start=1):
+                selected.append((host, rank, u, rc, dep))
+        # fetch
+        for host, rank, u, rc, dep in selected:
+            status = py_status(u, rc)
+            log_rows.append(
+                {
+                    "round_id": r,
+                    "host": host,
+                    "rank": rank,
+                    "url": u,
+                    "status": status,
+                    "retry_count": rc,
+                }
+            )
+            if status == 200:
+                seen[u] = (200, r)
+                del frontier[u]
+                for raw in py_outlinks(u, dep, cfg):
+                    cu = py_canonicalize(raw)
+                    if cu in seen:
+                        continue
+                    if cu in frontier:
+                        # order-independent merge: pending retries win;
+                        # otherwise keep min (not_before, depth)
+                        rc0, nb0, dep0 = frontier[cu]
+                        if rc0 == 0:
+                            nb1, dep1 = min((nb0, dep0), (r + 1, dep + 1))
+                            frontier[cu] = (0, nb1, dep1)
+                    else:
+                        frontier[cu] = (0, r + 1, dep + 1)
+            else:  # 504
+                nrc = rc + 1
+                if nrc > cfg.max_retries:
+                    seen[u] = (PERM_FAIL_STATUS, r)
+                    del frontier[u]
+                else:
+                    # linear backoff in rounds (T2: retry# × delay)
+                    frontier[u] = (nrc, r + nrc, dep)
+        r += 1
+    order = pd.DataFrame(
+        log_rows,
+        columns=["round_id", "host", "rank", "url", "status", "retry_count"],
+    )
+    seen_df = pd.DataFrame(
+        [
+            {"url": u, "url_hash": py_h60(u), "status": s, "round_id": rr}
+            for u, (s, rr) in seen.items()
+        ],
+        columns=["url", "url_hash", "status", "round_id"],
+    )
+    return GoldenResult(fetch_order=order, url_seen=seen_df, n_rounds=r)

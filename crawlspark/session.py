@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the crawl workload.
+
+Local mode stands in for a multi-executor cluster; partitioning choices
+(shuffle partitions, salted politeness ranking, bucketed seen-set) are
+made as if executors were remote, so the same code runs unchanged via
+``spark-submit --py-files`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "crawlspark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` is intentionally fixed independent of core
+    count so that local[8] and local[32] runs produce identical shuffle
+    topology — required for the bit-identical-ordering contract.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary image rows are large; cap Arrow batch size so a batch of
+        # (bytes,w,h) rows stays well under executor memory at 100TB scale
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,152 @@
+"""SnapTable — atomic-snapshot parquet tables (local Iceberg stand-in).
+
+The reference publishes crawl output via a single atomic Elasticsearch
+alias swap (es/ElasticSearchUtils.java:137-183) and rolls back failed
+runs by deleting the in-progress index
+(mendeley/ElasticSearchIndexHandler.java:239-242). The Spark-native
+equivalent is an Iceberg table's snapshot commit / rollback. No Iceberg
+runtime jar ships in this sandbox, so SnapTable provides the same
+contract over plain parquet:
+
+* every commit writes data to a fresh directory, then atomically
+  republishes a JSON manifest via ``os.replace`` (readers see the old or
+  the new snapshot, never a mix);
+* ``append`` = new manifest referencing parent files + new files;
+* ``overwrite`` = new manifest referencing only new files;
+* ``rollback(snapshot_id)`` = republish an older manifest;
+* snapshots carry arbitrary metadata (lineage, counters).
+
+On a real cluster every call here maps 1:1 onto Iceberg operations
+(``writeTo(...).append()``, ``CREATE OR REPLACE``, snapshot rollback);
+the engine only talks to this interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapTable:
+    def __init__(self, path: str, name: str | None = None) -> None:
+        self.path = path
+        self.name = name or os.path.basename(path.rstrip("/"))
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+    def _head_path(self) -> str:
+        return os.path.join(self.meta_dir, "HEAD")
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self._head_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.meta_dir, f"snap-{sid:08d}.json")
+
+    def _read_manifest(self, sid: int) -> dict:
+        with open(self._manifest_path(sid)) as f:
+            return json.load(f)
+
+    def current_manifest(self) -> dict | None:
+        sid = self.current_snapshot_id()
+        return None if sid is None else self._read_manifest(sid)
+
+    # ---------------------------------------------------------- commits
+    def _commit(self, dirs: list[str], schema_json: str, meta: dict | None, op: str) -> int:
+        sid = (self.current_snapshot_id() or 0) + 1
+        manifest = {
+            "snapshot_id": sid,
+            "op": op,
+            "dirs": dirs,
+            "schema": schema_json,
+            "meta": meta or {},
+            "parent": self.current_snapshot_id(),
+        }
+        mpath = self._manifest_path(sid)
+        tmp = mpath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        # atomic publish: HEAD pointer flip is the commit point
+        tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(sid))
+        os.replace(tmp, self._head_path())
+        return sid
+
+    def _write_data(self, df: DataFrame) -> str:
+        d = os.path.join(self.data_dir, f"d-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    def append(self, df: DataFrame, meta: dict | None = None, nfiles: int | None = None) -> int:
+        cur = self.current_manifest()
+        if nfiles is not None:
+            df = df.coalesce(nfiles)
+        d = self._write_data(df)
+        dirs = (cur["dirs"] if cur else []) + [d]
+        return self._commit(dirs, df.schema.json(), meta, "append")
+
+    def maybe_compact(self, spark: SparkSession, max_dirs: int = 24, nfiles: int = 8) -> bool:
+        """Rewrite many small append dirs into one (Iceberg
+        ``rewrite_data_files`` analogue). Old dirs are kept so earlier
+        snapshots stay readable for rollback/time-travel."""
+        m = self.current_manifest()
+        if m is None or len(m["dirs"]) <= max_dirs:
+            return False
+        df = self.read(spark).coalesce(nfiles)
+        self.overwrite(df)
+        return True
+
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        d = self._write_data(df)
+        return self._commit([d], df.schema.json(), meta, "overwrite")
+
+    def commit_empty(self, schema: T.StructType, meta: dict | None = None) -> int:
+        """Create the table at snapshot 1 with zero rows (schema pinned)."""
+        return self._commit([], schema.json(), meta, "create")
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point HEAD back at an older snapshot (atomic)."""
+        if not os.path.exists(self._manifest_path(snapshot_id)):
+            raise ValueError(f"unknown snapshot {snapshot_id} for {self.name}")
+        tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._head_path())
+
+    # ------------------------------------------------------------ reads
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None
+
+    def schema(self) -> T.StructType:
+        m = self.current_manifest()
+        if m is None:
+            raise ValueError(f"table {self.name} has no snapshot")
+        return T.StructType.fromJson(json.loads(m["schema"]))
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        m = (
+            self._read_manifest(snapshot_id)
+            if snapshot_id is not None
+            else self.current_manifest()
+        )
+        if m is None:
+            raise ValueError(f"table {self.name} has no snapshot")
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["dirs"]:
+            return spark.createDataFrame([], schema)
+        # explicit schema → no inference pass; Catalyst still prunes
+        # columns and pushes filters into each parquet scan
+        return spark.read.schema(schema).parquet(*m["dirs"])

@@ -1,0 +1,171 @@
+"""URL-seen set: exact dedup table + partitioned cuckoo pre-filter.
+
+Generalizes the reference's skip-if-exists fetch dedup
+(contentful/backup/ContentfulBackup.java:180-182) and upsert-by-id
+indexing (mendeley/ElasticSearchIndexHandler.java:213-217) to a
+10^10-URL frontier:
+
+* **Exact layer** — a SnapTable of (url, url_hash, status, round_id),
+  bucketed by ``pmod(url_hash, n_buckets)``; novelty = LEFT ANTI join.
+  At real scale this is the Iceberg dedup table of the north_rule.
+* **Approximate layer** — a *partitioned cuckoo filter* materialized as
+  a table of (pg, bucket, fp) rows. Membership has NO false negatives,
+  so the engine uses it to split candidates into definitely-new
+  (skip the expensive exact join entirely) and maybe-seen (exact-check
+  only those). False-positive rate ~ 2*slots/2^fp_bits per bucket pair.
+
+Partition-local eviction: a fingerprint's two candidate buckets are
+constructed to share the same partition group ``pg``, so filter
+maintenance is an ``applyInPandas`` over pg groups — one shuffle, no
+cross-partition races, deterministic regardless of input partitioning
+(inserts are sorted within each group before the cuckoo walk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hashing import h60_sql
+from .snaptable import SnapTable
+
+FP_MOD = 65535  # 16-bit fingerprints, 0 reserved for "empty"
+SLOTS = 4
+MAX_KICKS = 500
+OVERFLOW_BUCKET = -1
+
+FILTER_SCHEMA = T.StructType(
+    [
+        T.StructField("pg", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("fp", T.IntegerType(), False),
+    ]
+)
+
+
+def _with_fp_buckets(df: DataFrame, url_col: str, n_pg: int, k: int) -> DataFrame:
+    """Add (pg, fp, b1, b2) columns. Both candidate buckets live in the
+    same partition group: bucket = pg * k + bk, alt bk = bk XOR h(fp)."""
+    h_sql = h60_sql(url_col)
+    fph = F.expr(h60_sql(f"concat({url_col}, '|fp')"))
+    fp = (F.pmod(fph, F.lit(FP_MOD)) + 1).cast("int")
+    pg = F.pmod(F.expr(h_sql), F.lit(n_pg)).cast("int")
+    bk1 = F.pmod(F.expr(f"({h_sql}) div {n_pg}"), F.lit(k))  # exact int division
+    bk2 = F.pmod(bk1.bitwiseXOR(fp.cast("bigint") * F.lit(0x5BD1)), F.lit(k))
+    return (
+        df.withColumn("pg", pg)
+        .withColumn("fp", fp)
+        .withColumn("b1", (pg.cast("bigint") * k + bk1).cast("bigint"))
+        .withColumn("b2", (pg.cast("bigint") * k + bk2).cast("bigint"))
+    )
+
+
+class CuckooSeen:
+    """Partitioned cuckoo filter over a SnapTable."""
+
+    def __init__(self, path: str, n_pg: int = 32, buckets_per_pg: int = 4096) -> None:
+        self.table = SnapTable(path, "cuckoo_seen")
+        self.n_pg = n_pg
+        self.k = buckets_per_pg
+        if not self.table.exists():
+            self.table.commit_empty(FILTER_SCHEMA)
+
+    # ------------------------------------------------------------ write
+    def insert(self, urls: DataFrame, url_col: str = "url") -> int:
+        """Merge new URLs into the filter state. One shuffle (groupBy pg);
+        the cuckoo walk runs vectorized per partition group."""
+        spark = urls.sparkSession
+        cand = _with_fp_buckets(urls.select(url_col), url_col, self.n_pg, self.k)
+        new_rows = cand.select("pg", "fp", "b1", "b2")
+        state = self.table.read(spark)
+        # pack existing state rows alongside inserts; b1 = bucket marks state
+        state_packed = state.select(
+            "pg", "fp", F.col("bucket").alias("b1"), F.lit(None).cast("bigint").alias("b2")
+        )
+        both = state_packed.unionByName(new_rows.select("pg", "fp", "b1", "b2"))
+        k = self.k
+        n_pg = self.n_pg
+
+        def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+            pg = int(pdf["pg"].iloc[0])
+            buckets: dict[int, list[int]] = {}
+            overflow = False
+            existing = pdf[pdf["b2"].isna()]
+            inserts = pdf[pdf["b2"].notna()]
+            for b, fp in zip(existing["b1"].astype("int64"), existing["fp"]):
+                if b == OVERFLOW_BUCKET:
+                    overflow = True
+                    continue
+                buckets.setdefault(int(b), []).append(int(fp))
+            # deterministic insert order regardless of shuffle layout
+            ins = inserts[["fp", "b1", "b2"]].astype("int64").drop_duplicates()
+            ins = ins.sort_values(["b1", "fp"]).itertuples(index=False)
+            for fp, b1, b2 in ins:
+                if fp in buckets.get(b1, ()) or fp in buckets.get(b2, ()):
+                    continue  # already present (dedup within filter)
+                placed = False
+                for b in (b1, b2):
+                    slot = buckets.setdefault(b, [])
+                    if len(slot) < SLOTS:
+                        slot.append(fp)
+                        placed = True
+                        break
+                if placed:
+                    continue
+                # cuckoo eviction walk (deterministic victim choice)
+                cur_b, cur_fp = b1, fp
+                for kick in range(MAX_KICKS):
+                    slot = buckets[cur_b]
+                    victim_i = (cur_fp + kick) % SLOTS
+                    victim = slot[victim_i]
+                    slot[victim_i] = cur_fp
+                    bk = cur_b - pg * k
+                    alt_bk = (bk ^ (victim * 0x5BD1)) % k
+                    cur_b, cur_fp = pg * k + alt_bk, victim
+                    aslot = buckets.setdefault(cur_b, [])
+                    if len(aslot) < SLOTS:
+                        aslot.append(cur_fp)
+                        break
+                else:
+                    overflow = True  # filter saturated for this pg
+            out = [
+                {"pg": pg, "bucket": b, "fp": fp}
+                for b, fps in buckets.items()
+                for fp in fps
+            ]
+            if overflow:
+                out.append({"pg": pg, "bucket": OVERFLOW_BUCKET, "fp": 0})
+            return pd.DataFrame(out, columns=["pg", "bucket", "fp"])
+
+        new_state = both.groupBy("pg").applyInPandas(rebuild, FILTER_SCHEMA)
+        return self.table.overwrite(new_state)
+
+    # ------------------------------------------------------------- read
+    def split_candidates(
+        self, cand: DataFrame, url_col: str = "url"
+    ) -> tuple[DataFrame, DataFrame]:
+        """Return (definitely_new, maybe_seen). No false negatives: any
+        URL previously inserted is guaranteed to land in maybe_seen."""
+        spark = cand.sparkSession
+        state = self.table.read(spark)
+        overflow_pgs = state.filter(F.col("bucket") == OVERFLOW_BUCKET).select("pg")
+        c = _with_fp_buckets(cand, url_col, self.n_pg, self.k)
+        probes = c.select(
+            url_col, "pg", "fp", F.explode(F.array("b1", "b2")).alias("bucket")
+        )
+        hits = (
+            probes.join(state, ["pg", "bucket", "fp"], "left_semi")
+            .select(url_col)
+            .distinct()
+        )
+        over = c.join(F.broadcast(overflow_pgs), "pg", "left_semi").select(url_col)
+        maybe_urls = hits.unionByName(over).distinct()
+        maybe = cand.join(maybe_urls, url_col, "left_semi")
+        new = cand.join(maybe_urls, url_col, "left_anti")
+        return new, maybe
+
+    def rollback(self, snapshot_id: int) -> None:
+        self.table.rollback(snapshot_id)
