@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: one full crawl round over seed URLs derived
+                 from the sf0.001 tables (frontier scan → URL-seen
+                 anti-join → robots → politeness rank → vectorized
+                 fetch → image rows).
+queries()      — operator inventory from SURVEY.md §2 + training-data
+                 pipeline ops; each callable(spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB ANSI-SQL equivalents (omitted only for binary
+                 codec ops, which are not SQL-expressible).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl round at sf0.001 — the end-to-end slice of
+    SURVEY.md §7.2 step 2. Returns the fetched image rows (metadata;
+    bytes kept, driver may collect)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.synth import SynthConfig
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seeds = docs.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7 + 1).cast("string"),
+            F.lit(".example.com/img/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?s=1&p=2"),
+        ).alias("url"),
+        F.lit(0).cast("int").alias("depth"),
+    )
+    workdir = tempfile.mkdtemp(prefix="crawlspark_entry_")
+    try:
+        eng = CrawlEngine(
+            spark, workdir, SynthConfig(n_seeds=50, n_hosts=7, max_depth=1), cuckoo_pg=8
+        )
+        eng.add_seeds(seeds)
+        eng.run(max_rounds=6)
+        out = eng.images.read(spark).select(
+            "image_id", "url", "w", "h", "fmt", "caption", "phash", "round_id"
+        )
+        # materialize before the workdir is cleaned up
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _registry():
+    from crawlspark.ops import crawlops, dedup, multimodal, relational, similarity, text
+
+    mods = [relational, crawlops, dedup, text, similarity, multimodal]
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for m in mods:
+        queries.update(m.QUERIES)
+        oracles.update(m.ORACLES)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

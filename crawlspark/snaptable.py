@@ -63,8 +63,16 @@ class SnapTable:
         return None if sid is None else self._read_manifest(sid)
 
     # ---------------------------------------------------------- commits
+    def _max_snapshot_id(self) -> int:
+        mx = 0
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("snap-") and f.endswith(".json"):
+                mx = max(mx, int(f[5:-5]))
+        return mx
+
     def _commit(self, dirs: list[str], schema_json: str, meta: dict | None, op: str) -> int:
-        sid = (self.current_snapshot_id() or 0) + 1
+        # ids never reused, even after rollback (history stays intact)
+        sid = self._max_snapshot_id() + 1
         manifest = {
             "snapshot_id": sid,
             "op": op,

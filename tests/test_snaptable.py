@@ -1,0 +1,38 @@
+"""Atomic snapshot table semantics: append/overwrite/rollback/compact."""
+
+from pyspark.sql import types as T
+
+from crawlspark.snaptable import SnapTable
+
+
+def test_append_overwrite_rollback(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "t"))
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    s0 = t.commit_empty(schema)
+    assert t.read(spark).count() == 0
+    s1 = t.append(spark.range(5).selectExpr("id as x"))
+    s2 = t.append(spark.range(5, 8).selectExpr("id as x"))
+    assert t.read(spark).count() == 8
+    # time travel: older snapshot still readable
+    assert t.read(spark, snapshot_id=s1).count() == 5
+    t.rollback(s1)
+    assert t.read(spark).count() == 5
+    s3 = t.overwrite(spark.range(2).selectExpr("id as x"))
+    assert t.read(spark).count() == 2
+    assert sorted(r["x"] for r in t.read(spark).collect()) == [0, 1]
+    assert t.current_snapshot_id() == s3 > s2 > s1 > s0
+
+
+def test_compact_preserves_rows_and_old_snapshots(spark, tmp_path):
+    t = SnapTable(str(tmp_path / "c"))
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    t.commit_empty(schema)
+    for i in range(6):
+        t.append(spark.range(i * 10, i * 10 + 10).selectExpr("id as x"), nfiles=1)
+    pre = t.current_snapshot_id()
+    assert t.maybe_compact(spark, max_dirs=3, nfiles=1)
+    assert t.read(spark).count() == 60
+    assert len(t.current_manifest()["dirs"]) == 1
+    # rollback across a compaction still works (old dirs retained)
+    t.rollback(pre)
+    assert t.read(spark).count() == 60

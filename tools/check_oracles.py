@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry and its oracle_sql() side-by-side at a
+given sf, compare row count, column set and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
+            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+        try:
+            import numpy as np
+
+            if s.dtype.kind == "f":
+                df[c] = s.round(6)
+            elif s.dtype.kind in "iu":
+                df[c] = s.astype("int64")
+            elif str(s.dtype).startswith("datetime"):
+                df[c] = s.astype("datetime64[us]")
+        except TypeError:
+            pass
+    df = df.astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    import __spark_entry__ as E
+    from crawlspark.session import get_spark
+
+    spark = get_spark("local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            mine = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(mine)} rows (rows-only, no oracle)  [{time.time()-t0:.1f}s]")
+            assert len(mine) > 0, name
+            n_rows_only += 1
+            continue
+        try:
+            ref = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        a, b = _norm(mine), _norm(ref)
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first diffs:")
+            print(pd.concat([a[neq].head(3), b[neq].head(3)], keys=["spark", "duckdb"]))
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(a)} rows  [{time.time()-t0:.1f}s]")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
