@@ -63,9 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry():
-    from crawlspark.ops import crawlops, dedup, multimodal, relational, similarity, text
+    from crawlspark.ops import (
+        crawlops,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
 
-    mods = [relational, crawlops, dedup, text, similarity, multimodal]
+    mods = [relational, crawlops, dedup, text, similarity, multimodal, streaming]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in mods:

@@ -1,0 +1,160 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two phases:
+1. Headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS] — per-query seconds in "queries".
+2. Crawl-throughput scaling (the BASELINE.json metric): the full crawl
+   engine at local[N] and local[4N] on the SAME seed list with FIXED
+   shuffle partitioning; reports frontier URLs/s + fetch rows/s at both
+   levels and efficiency = (thr_4N / thr_N) / 4. Also writes
+   BENCH/BASELINE.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+CRAWLSPARK_BENCH_SEEDS (default 120000), CRAWLSPARK_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_revenue_by_nation",
+    "top3_orders_per_customer",
+    "sessionize_users",
+    "url_canonicalize",
+    "url_seen_antijoin",
+    "politeness_topk_salted",
+    "dedup_exact",
+    "minhash_lsh_buckets",
+    "simhash",
+    "token_stats",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "images_from_documents",
+]
+
+
+def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
+    import __spark_entry__ as E
+    from crawlspark.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", shuffle_partitions=32, app_name="bench-queries")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan+code paths)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def run_scaling(n_seeds: int, cpus: int) -> dict:
+    lo = max(2, cpus // 4)
+    out = {}
+    for tag, master in (("N", f"local[{lo}]"), ("4N", f"local[{cpus}]")):
+        tmp = tempfile.mkdtemp(prefix=f"bench_crawl_{tag}_")
+        res_file = os.path.join(tmp, "result.json")
+        subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "crawlspark.bench_crawl",
+                master,
+                os.path.join(tmp, "wd"),
+                str(n_seeds),
+                res_file,
+            ],
+            check=True,
+            cwd=_REPO,
+            timeout=3600,
+        )
+        with open(res_file) as f:
+            out[tag] = json.load(f)
+    thr_n = out["N"]["fetch_rows_per_sec"]
+    thr_4n = out["4N"]["fetch_rows_per_sec"]
+    ratio = cpus / lo
+    out["scaling_efficiency"] = round((thr_4n / thr_n) / ratio, 3)
+    out["core_ratio"] = ratio
+    return out
+
+
+def write_baseline_md(scaling: dict, timings: dict, sf_dir: str) -> None:
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    n, x = scaling["N"], scaling["4N"]
+    lines = [
+        "# BENCH/BASELINE — measured engine numbers",
+        "",
+        "## Crawl throughput scaling (north_rule: N vs 4N executors)",
+        "",
+        "Same seed list, same fixed shuffle partitioning (32); only executor",
+        "thread count varies — the sandbox stand-in for N vs 4N executors.",
+        "",
+        "| level | master | rounds | wall (s) | frontier URLs/s | fetch rows/s |",
+        "|---|---|---|---|---|---|",
+        f"| N | {n['master']} | {n['rounds']} | {n['wall_sec']} | {n['frontier_urls_per_sec']} | {n['fetch_rows_per_sec']} |",
+        f"| 4N | {x['master']} | {x['rounds']} | {x['wall_sec']} | {x['frontier_urls_per_sec']} | {x['fetch_rows_per_sec']} |",
+        "",
+        f"**Scaling efficiency (fetch rows/s): {scaling['scaling_efficiency']}**"
+        f" (criterion: >= 0.8 at {scaling['core_ratio']}x cores)",
+        "",
+        f"Reference floor: ~770 docs/s single-thread (BASELINE.md). Measured",
+        f"fetch rows/s at 4N = {x['fetch_rows_per_sec']} on {x['master']};"
+        f" URLs/s = {x['frontier_urls_per_sec']}.",
+        "",
+        f"## Headline query timings at {sf_dir}",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in timings.items()]
+    with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    timings = time_queries(sf_dir, cpus)
+    result = {
+        "metric": "crawl fetch rows/sec at local[4N] + headline query secs",
+        "unit": "sec",
+        "sf": 0.1 if "0.1" in sf_dir else sf_dir,
+        "queries": dict(timings),
+    }
+    if os.environ.get("CRAWLSPARK_SKIP_SCALING") != "1":
+        n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "120000"))
+        scaling = run_scaling(n_seeds, int(cpus))
+        result["value"] = scaling["4N"]["wall_sec"]
+        result["queries"]["crawl_local_N"] = scaling["N"]["wall_sec"]
+        result["queries"]["crawl_local_4N"] = scaling["4N"]["wall_sec"]
+        result["crawl"] = {
+            "n_seeds": n_seeds,
+            "frontier_urls_per_sec_N": scaling["N"]["frontier_urls_per_sec"],
+            "frontier_urls_per_sec_4N": scaling["4N"]["frontier_urls_per_sec"],
+            "fetch_rows_per_sec_N": scaling["N"]["fetch_rows_per_sec"],
+            "fetch_rows_per_sec_4N": scaling["4N"]["fetch_rows_per_sec"],
+            "scaling_efficiency": scaling["scaling_efficiency"],
+        }
+        write_baseline_md(scaling, timings, sf_dir)
+    else:
+        result["value"] = round(sum(timings.values()), 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Crawl throughput benchmark worker (run as a subprocess per master).
+
+Runs the full engine — frontier scan, seen anti-join, robots,
+politeness rank, vectorized fetch, atomic commits — over a Zipfian
+seed list, and reports wall time + throughput as one JSON line.
+
+Used by bench.py at two parallelism levels (local[N] vs local[4N]) to
+evidence the north_rule's N→4N scaling-efficiency criterion. Shuffle
+partitioning is FIXED across levels so only executor-thread count
+varies — the same property a real N vs 4N executor cluster would have.
+
+Usage: python -m crawlspark.bench_crawl <master> <workdir> <n_seeds> <out_json>
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+import pandas as pd
+
+from .engine import CrawlEngine
+from .session import get_spark
+from .synth import SynthConfig, gen_seeds, host_name
+
+
+def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
+    n_hosts = max(50, n_seeds // 300)
+    cfg = SynthConfig(n_seeds=n_seeds, n_hosts=n_hosts, max_depth=1)
+    seeds = gen_seeds(cfg)
+    # benchmark politeness: hot hosts get big budgets (still ranked /
+    # salted — the full window machinery runs), cold hosts unbounded
+    pol = pd.DataFrame(
+        {
+            "host": [host_name(i) for i in range(1, n_hosts + 1)],
+            "budget": [
+                max(2000, 2 * n_seeds // i) for i in range(1, n_hosts + 1)
+            ],
+        }
+    )
+    spark = get_spark(
+        master,
+        shuffle_partitions=32,
+        app_name=f"bench-crawl-{master}",
+        extra_conf={
+            # AQE off: round plans are already partition-bounded; AQE's
+            # per-stage jobs add fixed latency per round (see tests)
+            "spark.sql.adaptive.enabled": "false",
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        },
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    eng = CrawlEngine(spark, workdir, cfg, politeness_pdf=pol, use_cuckoo=True)
+    eng.add_seeds(spark.createDataFrame(seeds))
+    t0 = time.time()
+    results = eng.run(max_rounds=40)
+    wall = time.time() - t0
+    selected = sum(r["selected"] for r in results)
+    fetched = sum(r["fetched"] for r in results)
+    out = {
+        "master": master,
+        "n_seeds": n_seeds,
+        "rounds": len(results),
+        "wall_sec": round(wall, 2),
+        "frontier_urls_processed": selected,
+        "rows_fetched": fetched,
+        "frontier_urls_per_sec": round(selected / wall, 1),
+        "fetch_rows_per_sec": round(fetched / wall, 1),
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    r = run(sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4])
+    print(json.dumps(r))

@@ -181,11 +181,13 @@ def synth_image(url: str) -> dict:
     key = py_h60(url)
     w, h, fmt = dims_for(key)
     px = pixels_for(key, w, h)
+    data = encode(px, fmt)
     return {
-        "bytes": encode(px, fmt),
+        "bytes": data,
         "w": w,
         "h": h,
         "fmt": fmt,
         "caption": caption_for(url, key),
-        "phash": phash(decode(encode(px, fmt), fmt)),
+        # phash over DECODED pixels so lossy round-trips verify equal
+        "phash": phash(px if fmt == "png" else decode(data, fmt)),
     }

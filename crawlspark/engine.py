@@ -89,6 +89,18 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
+class _DictAccum:
+    """AccumulatorParam merging {partition_id: rows} dicts."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -99,6 +111,7 @@ class CrawlEngine:
         politeness_pdf=None,
         use_cuckoo: bool = True,
         cuckoo_pg: int = 32,
+        cuckoo_every: int = 5,
     ) -> None:
         from .synth import gen_politeness, gen_robots
 
@@ -106,6 +119,11 @@ class CrawlEngine:
         self.workdir = workdir
         self.cfg = cfg
         self.use_cuckoo = use_cuckoo
+        # cuckoo inserts are batched: the filter lags <= cuckoo_every
+        # rounds behind, and the lag window is covered by an exact
+        # anti-join against the (small) recent slice of url_seen
+        self.cuckoo_every = cuckoo_every
+        self._cuckoo_upto = -1
         os.makedirs(workdir, exist_ok=True)
         self.frontier = SnapTable(os.path.join(workdir, "frontier"))
         self.seen = SnapTable(os.path.join(workdir, "url_seen"))
@@ -152,6 +170,7 @@ class CrawlEngine:
                 "fetch_log": self.fetch_log.current_snapshot_id(),
                 "cuckoo": self.cuckoo.table.current_snapshot_id(),
             },
+            "cuckoo_upto": self._cuckoo_upto,
             "counters": counters,
             "lineage": lineage,
         }
@@ -177,6 +196,7 @@ class CrawlEngine:
         self.images.rollback(snaps["images"])
         self.fetch_log.rollback(snaps["fetch_log"])
         self.cuckoo.table.rollback(snaps["cuckoo"])
+        self._cuckoo_upto = m.get("cuckoo_upto", -1)
         return m["round_id"] + 1
 
     # ------------------------------------------------------------ seeds
@@ -222,13 +242,21 @@ class CrawlEngine:
                 (-F.col("s.nd")).cast("int").alias("depth"),
             )
         )
-        seen_urls = self.seen.read(self.spark).select("url")
+        seen_df = self.seen.read(self.spark)
+        seen_urls = seen_df.select("url")
         if self.use_cuckoo:
-            # scale path: cuckoo filter splits candidates; only the
-            # maybe-seen slice pays the exact anti-join
+            # scale path: the cuckoo filter splits candidates; only the
+            # maybe-seen slice pays the exact anti-join against the full
+            # seen table. The filter lags <= cuckoo_every rounds, so
+            # "definitely new" is additionally checked against the small
+            # recent slice (round_id pushdown prunes the parquet scan).
+            recent = seen_df.filter(
+                F.col("round_id") > self._cuckoo_upto
+            ).select("url")
             new, maybe = self.cuckoo.split_candidates(reduced, "url")
-            truly_new = maybe.join(seen_urls, "url", "left_anti")
-            unseen = new.unionByName(truly_new)
+            unseen = new.join(recent, "url", "left_anti").unionByName(
+                maybe.join(seen_urls, "url", "left_anti")
+            )
         else:
             unseen = reduced.join(seen_urls, "url", "left_anti")
         from .hashing import unit
@@ -240,11 +268,13 @@ class CrawlEngine:
         )
 
     def run_round(self, round_id: int) -> dict:
-        """Execute one crawl round; returns counters. Commits atomically."""
+        """Execute one crawl round; returns counters (including the
+        future-work schedule used by run()'s round skipping). Commits
+        atomically via the round manifest."""
         pending = self._pending(round_id).cache()
         allowed, denied = filter_robots(pending, self.robots)
-        selected = select_budget(allowed, self.politeness)
-        selected = with_status(selected).cache()
+        denied = denied.cache()
+        selected = with_status(select_budget(allowed, self.politeness)).cache()
 
         log_df = selected.select(
             F.lit(round_id).cast("int").alias("round_id"),
@@ -255,8 +285,9 @@ class CrawlEngine:
             "retry_count",
         )
         ok = selected.filter(F.col("status") == 200).cache()
-        # fetch once, reuse for both the append and the lineage counters
-        fetched = fetch_images(ok).cache()
+        # lineage rides the write action via an accumulator — no extra job
+        acc = self.spark.sparkContext.accumulator({}, _DictAccum())
+        fetched = fetch_images(ok, lineage_acc=acc)
         images_df = fetched.select(
             "image_id",
             "url",
@@ -270,19 +301,15 @@ class CrawlEngine:
         )
 
         # ---- commits (order: data first, state manifest last = commit point)
-        self.images.append(images_df, nfiles=8)
-        self.fetch_log.append(log_df, nfiles=2)
-
-        # ---- lineage: per-partition fetched-row counts (A4 metrics)
+        # NOTE: no coalesce here — coalesce would collapse the upstream
+        # mapInPandas fetch to nfiles tasks; write with full parallelism
+        # and let maybe_compact() bound file counts instead
+        self.images.append(images_df)
         lineage = sorted(
-            (
-                {"part_id": int(r["part_id"]), "rows": int(r["rows"])}
-                for r in fetched.groupBy("part_id")
-                .agg(F.count("*").alias("rows"))
-                .collect()
-            ),
+            ({"part_id": int(k), "rows": int(v)} for k, v in acc.value.items()),
             key=lambda d: d["part_id"],
         )
+        self.fetch_log.append(log_df, nfiles=2)
 
         newly_seen = (
             ok.select("url", F.lit(200).alias("status"))
@@ -303,8 +330,6 @@ class CrawlEngine:
             )
         )
         self.seen.append(newly_seen, nfiles=2)
-        if self.use_cuckoo:
-            self.cuckoo.insert(newly_seen.select("url"))
 
         retries = selected.filter(
             (F.col("status") == 504)
@@ -335,19 +360,66 @@ class CrawlEngine:
         )
         self.frontier.append(retries.unionByName(outlinks), nfiles=2)
 
+        # one agg job over the cached selection: counts + the retry/
+        # outlink schedule that run() uses to skip workless rounds
+        is504 = F.col("status") == 504
+        rc = F.col("retry_count")
         stats = selected.agg(
             F.count("*").alias("selected"),
             F.sum((F.col("status") == 200).cast("int")).alias("fetched"),
-            F.sum((F.col("status") == 504).cast("int")).alias("failed_504"),
+            F.sum(is504.cast("int")).alias("failed_504"),
+            F.sum(
+                ((F.col("status") == 200) & (F.col("depth") < self.cfg.max_depth)).cast(
+                    "int"
+                )
+            ).alias("expandable"),
+            *[
+                F.sum((is504 & (rc == k) & (rc + 1 <= self.cfg.max_retries)).cast("int")).alias(
+                    f"retry_rc{k}"
+                )
+                for k in range(self.cfg.max_retries)
+            ],
         ).collect()[0]
+        n_pending = pending.count()
+        n_denied = denied.count()
         counters = {
             "round_id": round_id,
+            "pending": int(n_pending),
+            "denied": int(n_denied),
             "selected": int(stats["selected"] or 0),
             "fetched": int(stats["fetched"] or 0),
             "failed_504": int(stats["failed_504"] or 0),
+            "expandable": int(stats["expandable"] or 0),
+            "future_rounds": sorted(
+                {
+                    round_id + k + 1
+                    for k in range(self.cfg.max_retries)
+                    if int(stats[f"retry_rc{k}"] or 0) > 0
+                }
+                | ({round_id + 1} if int(stats["expandable"] or 0) > 0 else set())
+                | (
+                    # budget leftover: only reschedulable if this round
+                    # actually selected something (a selectable row left
+                    # behind implies a bound budget, not a dead row)
+                    {round_id + 1}
+                    if int(stats["selected"] or 0) > 0
+                    and int(n_pending) - int(n_denied) - int(stats["selected"] or 0) > 0
+                    else set()
+                )
+            ),
         }
+
+        # batched cuckoo maintenance: fold the recent seen slice into the
+        # filter every cuckoo_every rounds (round_id pushdown on the scan)
+        if self.use_cuckoo and round_id - self._cuckoo_upto >= self.cuckoo_every:
+            recent = self.seen.read(self.spark).filter(
+                F.col("round_id") > self._cuckoo_upto
+            )
+            self.cuckoo.insert(recent.select("url"))
+            self._cuckoo_upto = round_id
+
         self._commit_round(round_id, counters, lineage)
-        for df in (pending, selected, ok, fetched):
+        for df in (pending, denied, selected, ok):
             df.unpersist()
         # keep small-file counts bounded (Iceberg rewrite_data_files analogue)
         if round_id % 10 == 9:
@@ -360,20 +432,47 @@ class CrawlEngine:
         seen_urls = self.seen.read(self.spark).select("url")
         return fr.join(seen_urls, "url", "left_anti").limit(1).count() > 0
 
+    def _outstanding_rounds(self) -> list[int]:
+        """Rounds at which pending (unseen) frontier work exists — used
+        once at resume to rebuild the scheduler state."""
+        fr = self.frontier.read(self.spark)
+        seen_urls = self.seen.read(self.spark).select("url")
+        rows = (
+            fr.join(seen_urls, "url", "left_anti")
+            .select("not_before")
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["not_before"]) for r in rows)
+
     def run(self, max_rounds: int = 1000, stop_after: int | None = None) -> list[dict]:
-        """Run rounds until the frontier is exhausted (or limits hit)."""
-        start = self.resume() if self.last_round() is not None else 0
-        results = []
-        r = start
+        """Run rounds until the frontier is exhausted (or limits hit).
+
+        Rounds with no scheduled work are skipped without any Spark job:
+        run_round reports the future-work schedule (retries' not_before
+        values + outlink availability + budget leftovers), which is
+        exactly the information a driver needs — no exhaustive frontier
+        scan per round. Skipped rounds produce no log rows in the golden
+        simulator either, so outputs are identical.
+        """
+        if self.last_round() is not None:
+            start = self.resume()
+            outstanding = {nb for nb in self._outstanding_rounds()}
+            outstanding = {max(nb, start) for nb in outstanding}
+        else:
+            start = 0
+            outstanding = {0}
+        results: list[dict] = []
         executed = 0
-        while r < max_rounds:
+        while outstanding:
+            r = min(outstanding)
+            if r >= max_rounds:
+                break
             if stop_after is not None and executed >= stop_after:
                 break
             c = self.run_round(r)
             results.append(c)
             executed += 1
-            # the exhaustive anti-join check only runs on idle rounds
-            if c["selected"] == 0 and not self.has_pending_work():
-                break
-            r += 1
+            outstanding = {nb for nb in outstanding if nb > r}
+            outstanding.update(c["future_rounds"])
         return results

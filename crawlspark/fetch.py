@@ -65,11 +65,14 @@ def with_status(selected: DataFrame) -> DataFrame:
     )
 
 
-def fetch_images(ok_urls: DataFrame) -> DataFrame:
+def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
     """Arrow-batched synthetic fetch+decode for status-200 URLs.
 
     Input: DataFrame with a `url` column. Output: FETCHED_SCHEMA rows,
-    including `part_id` (the executing partition) for lineage counters.
+    including `part_id` (the executing partition). If ``lineage_acc``
+    (a dict accumulator) is given, per-partition row counts are
+    accumulated for free with whatever action consumes this DataFrame —
+    no separate counting job.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,23 +88,29 @@ def fetch_images(ok_urls: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for url in pdf["url"]:
-                img = synth_image(url)
-                rows.append(
-                    {
-                        "url": url,
-                        "image_id": str(uuid.uuid5(uuid.NAMESPACE_URL, url)),
-                        "bytes": img["bytes"],
-                        "w": img["w"],
-                        "h": img["h"],
-                        "fmt": img["fmt"],
-                        "caption": img["caption"],
-                        "phash": img["phash"],
-                        "part_id": pid,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FETCHED_SCHEMA.fields])
+            urls = pdf["url"].tolist()
+            cols = {
+                "url": urls,
+                "image_id": [str(uuid.uuid5(uuid.NAMESPACE_URL, u)) for u in urls],
+                "bytes": [],
+                "w": [],
+                "h": [],
+                "fmt": [],
+                "caption": [],
+                "phash": [],
+                "part_id": [pid] * len(urls),
+            }
+            for u in urls:
+                img = synth_image(u)
+                cols["bytes"].append(img["bytes"])
+                cols["w"].append(img["w"])
+                cols["h"].append(img["h"])
+                cols["fmt"].append(img["fmt"])
+                cols["caption"].append(img["caption"])
+                cols["phash"].append(img["phash"])
+            if lineage_acc is not None:
+                lineage_acc.add({pid: len(urls)})
+            yield pd.DataFrame(cols, columns=[f.name for f in FETCHED_SCHEMA.fields])
 
     return ok_urls.select("url").mapInPandas(run, FETCHED_SCHEMA)
 

@@ -64,8 +64,10 @@ def gen_seeds(cfg: SynthConfig) -> pd.DataFrame:
     the /img/priv robots-sensitive prefix."""
     rng = np.random.Generator(np.random.Philox(cfg.seed))
     n, H = cfg.n_seeds, cfg.n_hosts
-    # Zipf over 1..H via rejection-free truncated zipf: sample and clip
-    ranks = np.minimum(rng.zipf(cfg.zipf_s, size=n), H)
+    # Zipf over 1..H: fold the unbounded zipf tail back onto 1..H
+    # (clipping would pile the entire tail mass on host H, inverting
+    # the skew — folding keeps host 1 hottest)
+    ranks = (rng.zipf(cfg.zipf_s, size=n) - 1) % H + 1
     ks = rng.integers(0, cfg.target_space, size=n)
     priv = rng.random(n) < 0.03
     variant = rng.integers(0, 100, size=n)

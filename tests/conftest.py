@@ -39,7 +39,7 @@ def crawl(spark, tmp_path_factory):
     from crawlspark.golden import simulate
     from crawlspark.synth import SynthConfig, gen_seeds, host_name
 
-    cfg = SynthConfig(n_seeds=300, n_hosts=12, max_depth=1)
+    cfg = SynthConfig(n_seeds=400, n_hosts=20, max_depth=1)
     seeds = gen_seeds(cfg)
 
     def bf(i):
