@@ -66,6 +66,7 @@ def _registry():
     from crawlspark.ops import (
         crawlops,
         dedup,
+        docpipe,
         multimodal,
         relational,
         similarity,
@@ -73,7 +74,16 @@ def _registry():
         text,
     )
 
-    mods = [relational, crawlops, dedup, text, similarity, multimodal, streaming]
+    mods = [
+        relational,
+        crawlops,
+        dedup,
+        docpipe,
+        text,
+        similarity,
+        multimodal,
+        streaming,
+    ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in mods:

@@ -59,6 +59,24 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
     wall = time.time() - t0
     selected = sum(r["selected"] for r in results)
     fetched = sum(r["fetched"] for r in results)
+    # isolate the compute stage (fetch+encode+phash — the part that is
+    # decode-bound on a real image crawl): same session, noop sink
+    from .fetch import fetch_images
+
+    n_fetch = min(100_000, n_seeds)
+    urls = (
+        spark.range(n_fetch)
+        .selectExpr(
+            "concat('https://bench.example.com/img/', cast(id as string)) as url"
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .cache()
+    )
+    urls.count()
+    t0 = time.time()
+    fetch_images(urls).write.format("noop").mode("overwrite").save()
+    fetch_wall = time.time() - t0
+
     out = {
         "master": master,
         "n_seeds": n_seeds,
@@ -68,6 +86,7 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
         "rows_fetched": fetched,
         "frontier_urls_per_sec": round(selected / wall, 1),
         "fetch_rows_per_sec": round(fetched / wall, 1),
+        "fetch_stage_rows_per_sec": round(n_fetch / fetch_wall, 1),
     }
     with open(out_json, "w") as f:
         json.dump(out, f)

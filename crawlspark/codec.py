@@ -25,9 +25,16 @@ import zlib
 
 import numpy as np
 
+import os
+
 from .hashing import py_h60
 
-SIZES = (32, 64, 128)
+# CRAWLSPARK_IMG_SCALE multiplies image dimensions (default 1 → 32-128px,
+# ~3KB payloads). The bench sets it higher so payload weight matches a
+# real image crawl (decode-bound). Read once per process; in local mode
+# driver and workers share the environment, keeping fetch deterministic.
+IMG_SCALE = max(1, int(os.environ.get("CRAWLSPARK_IMG_SCALE", "1")))
+SIZES = tuple(s * IMG_SCALE for s in (32, 64, 128))
 _LOSSY_Q = 4
 
 

@@ -1,0 +1,67 @@
+"""Plan audit: print `.explain("formatted")` for key queries and grep
+for the properties that matter at 100 TB:
+
+* parquet scans show PushedFilters / narrow ReadSchema (pruning)
+* small dims join as BroadcastHashJoin
+* aggregations have partial (map-side) phases
+* no Python row-at-a-time UDFs anywhere (only ArrowEvalPython /
+  MapInPandas for the codec stages)
+
+Usage: python tools/explain_audit.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDITED = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_revenue_by_nation",
+    "url_seen_antijoin",
+    "politeness_topk_salted",
+    "tag_dispatch_accumulate",
+    "doi_citation_enrich",
+    "minhash_lsh_buckets",
+    "cosine_topk",
+]
+
+CHECKS = {
+    "broadcast_join": re.compile(r"Broadcast(Hash|NestedLoop)Join"),
+    "partial_agg": re.compile(r"partial_"),
+    "pushed_filters": re.compile(r"PushedFilters: \[[^\]]"),
+    "row_python_udf": re.compile(r"BatchEvalPython"),  # must NOT appear
+}
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from crawlspark.session import get_spark
+
+    names = sys.argv[1:] or AUDITED
+    spark = get_spark("local[4]", shuffle_partitions=4)
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in names:
+        df = qs[name](spark, sf)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        flags = {k: bool(p.search(plan)) for k, p in CHECKS.items()}
+        print(f"== {name}: {flags}")
+        if os.environ.get("EXPLAIN_FULL") == "1":
+            print(plan)
+        assert not flags["row_python_udf"], f"{name} uses row-at-a-time Python!"
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
