@@ -67,6 +67,7 @@ def _registry():
         crawlops,
         dedup,
         docpipe,
+        enrich,
         multimodal,
         relational,
         similarity,
@@ -79,6 +80,7 @@ def _registry():
         crawlops,
         dedup,
         docpipe,
+        enrich,
         text,
         similarity,
         multimodal,

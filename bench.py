@@ -11,7 +11,7 @@ Two phases:
    BENCH/BASELINE.md.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-CRAWLSPARK_BENCH_SEEDS (default 120000), CRAWLSPARK_SKIP_SCALING=1.
+CRAWLSPARK_BENCH_SEEDS (default 150000), CRAWLSPARK_SKIP_SCALING=1.
 """
 
 from __future__ import annotations
@@ -152,7 +152,7 @@ def main() -> None:
         "queries": dict(timings),
     }
     if os.environ.get("CRAWLSPARK_SKIP_SCALING") != "1":
-        n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "120000"))
+        n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
         scaling = run_scaling(n_seeds, int(cpus))
         result["value"] = scaling["4N"]["wall_sec"]
         result["queries"]["crawl_local_N"] = scaling["N"]["wall_sec"]

@@ -44,14 +44,20 @@ def pixels_for(key: int, w: int, h: int) -> np.ndarray:
 
     Smooth-ish gradients + key-dependent interference pattern: cheap,
     fully vectorized, and compresses reasonably (exercises zlib).
+    int32 arithmetic throughout — the fetch stage runs 32-wide and is
+    memory-bandwidth sensitive (int64 halved its throughput).
     """
     a = (key & 0xFF) or 1
     b = ((key >> 8) & 0xFF) or 3
     c = ((key >> 16) & 0xFF) or 7
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.int64)
-    r = (a * xx + b * yy + (key & 0xFFFF)) % 256
-    g = (b * xx + c * yy + ((key >> 16) & 0xFFFF)) % 256
-    bl = (c * xx + a * yy + ((xx * yy) >> 3) + ((key >> 32) & 0xFFFF)) % 256
+    xx = np.arange(w, dtype=np.int32)[None, :]
+    yy = np.arange(h, dtype=np.int32)[:, None]
+    k0 = np.int32(key & 0xFFFF)
+    k1 = np.int32((key >> 16) & 0xFFFF)
+    k2 = np.int32((key >> 32) & 0xFFFF)
+    r = (a * xx + b * yy + k0) % 256
+    g = (b * xx + c * yy + k1) % 256
+    bl = (c * xx + a * yy + ((xx * yy) >> 3) + k2) % 256
     return np.stack([r, g, bl], axis=-1).astype(np.uint8)
 
 
@@ -88,7 +94,7 @@ def encode_png(px: np.ndarray) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(raw, 1))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -116,7 +122,7 @@ def encode_sjpg(px: np.ndarray) -> bytes:
     """SYNTHETIC lossy codec (JPEG stand-in): quantize step 4 + zlib."""
     h, w, _ = px.shape
     q = (px // _LOSSY_Q).astype(np.uint8)
-    return b"SJPG" + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+    return b"SJPG" + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 1)
 
 
 def decode_sjpg(data: bytes) -> np.ndarray:

@@ -271,6 +271,17 @@ class CrawlEngine:
         """Execute one crawl round; returns counters (including the
         future-work schedule used by run()'s round skipping). Commits
         atomically via the round manifest."""
+        import time as _time
+
+        _prof = os.environ.get("CRAWLSPARK_PROFILE") == "1"
+        _t = [_time.time()]
+
+        def _tick(label: str) -> None:
+            if _prof:
+                now = _time.time()
+                print(f"[round {round_id}] {label:24s} {now - _t[0]:7.2f}s", flush=True)
+                _t[0] = now
+
         pending = self._pending(round_id).cache()
         allowed, denied = filter_robots(pending, self.robots)
         denied = denied.cache()
@@ -361,7 +372,9 @@ class CrawlEngine:
         # NOTE: materialize the shared caches once before fan-out so the
         # concurrent jobs don't race to fill them.
         selected.count()
+        _tick("pending+select cache")
         ok.count()
+        _tick("ok cache")
         is504 = F.col("status") == 504
         rc = F.col("retry_count")
 
@@ -400,11 +413,13 @@ class CrawlEngine:
             f_stats = ex.submit(_stats)
             f_counts = ex.submit(lambda: (pending.count(), denied.count()))
             f_img.result()
+            _tick("images append (fetch)")
             f_log.result()
             f_seen.result()
             f_front.result()
             stats = f_stats.result()
             n_pending, n_denied = f_counts.result()
+            _tick("other appends+stats")
 
         lineage = sorted(
             ({"part_id": int(k), "rows": int(v)} for k, v in acc.value.items()),
@@ -445,6 +460,7 @@ class CrawlEngine:
             )
             self.cuckoo.insert(recent.select("url"))
             self._cuckoo_upto = round_id
+        _tick("cuckoo maintenance")
 
         self._commit_round(round_id, counters, lineage)
         for df in (pending, denied, selected, ok):
@@ -453,6 +469,7 @@ class CrawlEngine:
         if round_id % 10 == 9:
             self.frontier.maybe_compact(self.spark)
             self.seen.maybe_compact(self.spark)
+        _tick("commit+compact")
         return counters
 
     def has_pending_work(self) -> bool:

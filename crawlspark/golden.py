@@ -14,7 +14,7 @@ per-host prioritized frontier.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
 
