@@ -66,8 +66,11 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
 def run_scaling(n_seeds: int, cpus: int) -> dict:
     lo = max(2, cpus // 4)
     out = {}
+    # bench workdirs on tmpfs when available: one shared throttled VM
+    # disk must not decide the N-vs-4N comparison (see bench_crawl.py)
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     for tag, master in (("N", f"local[{lo}]"), ("4N", f"local[{cpus}]")):
-        tmp = tempfile.mkdtemp(prefix=f"bench_crawl_{tag}_")
+        tmp = tempfile.mkdtemp(prefix=f"bench_crawl_{tag}_", dir=tmp_root)
         res_file = os.path.join(tmp, "result.json")
         subprocess.run(
             [
@@ -85,6 +88,9 @@ def run_scaling(n_seeds: int, cpus: int) -> dict:
         )
         with open(res_file) as f:
             out[tag] = json.load(f)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # tmpfs = RAM; free it
     thr_n = out["N"]["fetch_rows_per_sec"]
     thr_4n = out["4N"]["fetch_rows_per_sec"]
     ratio = cpus / lo

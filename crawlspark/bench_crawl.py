@@ -15,6 +15,7 @@ Usage: python -m crawlspark.bench_crawl <master> <workdir> <n_seeds> <out_json>
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -40,16 +41,26 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
             ],
         }
     )
+    extra = {
+        # AQE off: round plans are already partition-bounded; AQE's
+        # per-stage jobs add fixed latency per round (see tests)
+        "spark.sql.adaptive.enabled": "false",
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+        "spark.locality.wait": "0",
+    }
+    # this sandbox shares ONE cloud disk whose IOPS throttle under
+    # sustained load (and punish the higher-concurrency level more);
+    # a real cluster has per-node disks, so shuffle scratch goes to
+    # tmpfs to keep the N-vs-4N comparison about compute, not one
+    # throttled device
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/crawlspark-scratch", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/crawlspark-scratch"
     spark = get_spark(
         master,
         shuffle_partitions=32,
         app_name=f"bench-crawl-{master}",
-        extra_conf={
-            # AQE off: round plans are already partition-bounded; AQE's
-            # per-stage jobs add fixed latency per round (see tests)
-            "spark.sql.adaptive.enabled": "false",
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
-        },
+        extra_conf=extra,
     )
     shutil.rmtree(workdir, ignore_errors=True)
     eng = CrawlEngine(spark, workdir, cfg, politeness_pdf=pol, use_cuckoo=True)
