@@ -76,18 +76,25 @@ def tag_dispatch_accumulate(spark, sf):
         F.col("kind") == "taxon", F.expr("try_cast(val as bigint)")
     )
     occ_val = F.when(F.col("kind") == "occ", F.expr("try_cast(val as bigint)"))
+
+    # arrays are serialized to sorted CSV scalars so the result is
+    # hashable/sortable by any downstream comparator (driver canon,
+    # pandas) — sort happens on the native type, join on the string.
+    def _csv(col):
+        return F.array_join(
+            F.transform(F.array_sort(col), lambda x: x.cast("string")), ","
+        )
+
     return cls.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_set(F.when(F.col("kind") == "doi", F.col("val")))
-        ).alias("dois"),
-        F.array_sort(F.collect_set(taxon_val)).alias("taxon_keys"),
-        F.array_sort(F.collect_set(occ_val)).alias("occurrence_keys"),
-        F.array_sort(
+        _csv(F.collect_set(F.when(F.col("kind") == "doi", F.col("val")))).alias("dois"),
+        _csv(F.collect_set(taxon_val)).alias("taxon_keys"),
+        _csv(F.collect_set(occ_val)).alias("occurrence_keys"),
+        _csv(
             F.collect_set(
                 F.when(F.col("kind") == "biocountry", F.regexp_replace("tag", "_biodiversity$", ""))
             )
         ).alias("coverage_countries"),
-        F.array_sort(
+        _csv(
             F.collect_set(F.when(F.col("kind") == "country", F.col("tag")))
         ).alias("researcher_countries"),
         F.coalesce(
@@ -121,11 +128,11 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-  list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'doi' THEN val END), x -> x IS NOT NULL))) AS dois,
-  list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'taxon' THEN try_cast(val AS BIGINT) END), x -> x IS NOT NULL))) AS taxon_keys,
-  list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'occ' THEN try_cast(val AS BIGINT) END), x -> x IS NOT NULL))) AS occurrence_keys,
-  list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'biocountry' THEN regexp_replace(tag, '_biodiversity$', '') END), x -> x IS NOT NULL))) AS coverage_countries,
-  list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'country' THEN tag END), x -> x IS NOT NULL))) AS researcher_countries,
+  coalesce(array_to_string(list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'doi' THEN val END), x -> x IS NOT NULL))), ','), '') AS dois,
+  coalesce(array_to_string(list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'taxon' THEN try_cast(val AS BIGINT) END), x -> x IS NOT NULL))), ','), '') AS taxon_keys,
+  coalesce(array_to_string(list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'occ' THEN try_cast(val AS BIGINT) END), x -> x IS NOT NULL))), ','), '') AS occurrence_keys,
+  coalesce(array_to_string(list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'biocountry' THEN regexp_replace(tag, '_biodiversity$', '') END), x -> x IS NOT NULL))), ','), '') AS coverage_countries,
+  coalesce(array_to_string(list_sort(list_distinct(list_filter(list(CASE WHEN kind = 'country' THEN tag END), x -> x IS NOT NULL))), ','), '') AS researcher_countries,
   coalesce(max(CASE WHEN kind = 'peer' AND val = 'true' THEN true END), false) AS peer_review,
   coalesce(max(CASE WHEN kind = 'oa' THEN true END), false) AS open_access,
   max(CASE WHEN kind = 'cit' THEN val END) AS citation_type,
@@ -199,8 +206,10 @@ def doi_citation_enrich(spark, sf):
         dois.join(F.broadcast(dim), "doi", "left")
         .groupBy("doc_id")
         .agg(
-            F.array_sort(F.collect_set("doi")).alias("dois"),
-            F.array_sort(F.collect_set("publishing_country")).alias("publishing_countries"),
+            F.array_join(F.array_sort(F.collect_set("doi")), ",").alias("dois"),
+            F.array_join(
+                F.array_sort(F.collect_set("publishing_country")), ","
+            ).alias("publishing_countries"),
         )
     )
 
@@ -219,8 +228,8 @@ WITH dois AS (
   LEFT JOIN nation ON nkey = n_nationkey
 )
 SELECT doc_id,
-       list_sort(list_distinct(list(doi))) AS dois,
-       list_sort(list_distinct(list_filter(list(publishing_country), x -> x IS NOT NULL))) AS publishing_countries
+       coalesce(array_to_string(list_sort(list_distinct(list(doi))), ','), '') AS dois,
+       coalesce(array_to_string(list_sort(list_distinct(list_filter(list(publishing_country), x -> x IS NOT NULL))), ','), '') AS publishing_countries
 FROM dois LEFT JOIN dim USING (doi)
 GROUP BY doc_id
 """

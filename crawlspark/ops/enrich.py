@@ -26,8 +26,11 @@ def vocab_term_extract(spark, sf):
     kept = F.array_intersect(words, allow)
     return docs.select(
         "doc_id",
-        F.array_sort(
-            F.transform(kept, lambda t: F.upper(F.regexp_replace(t, " ", "_")))
+        F.array_join(
+            F.array_sort(
+                F.transform(kept, lambda t: F.upper(F.regexp_replace(t, " ", "_")))
+            ),
+            ",",
         ).alias("terms"),
         (F.size(kept) > 0).alias("has_controlled_term"),
     )
@@ -35,8 +38,8 @@ def vocab_term_extract(spark, sf):
 
 VOCAB_SQL = f"""
 SELECT doc_id,
-       list_sort(list_transform(list_intersect(list_distinct(str_split(text, ' ')),
-                 {_TOPICS}), t -> upper(replace(t, ' ', '_')))) AS terms,
+       coalesce(array_to_string(list_sort(list_transform(list_intersect(list_distinct(str_split(text, ' ')),
+                 {_TOPICS}), t -> upper(replace(t, ' ', '_')))), ','), '') AS terms,
        len(list_intersect(list_distinct(str_split(text, ' ')), {_TOPICS})) > 0 AS has_controlled_term
 FROM documents
 """
@@ -113,14 +116,18 @@ def reverse_link_agg(spark, sf):
         F.array_sort(F.array_union("parent_ids", "parent_ids")).alias("parent_ids"),
     )
     return merged.select(
-        "target_id", F.size("parent_ids").alias("n_parents"), "parent_ids"
+        "target_id",
+        F.size("parent_ids").alias("n_parents"),
+        F.array_join(
+            F.transform("parent_ids", lambda x: x.cast("string")), ","
+        ).alias("parent_ids"),
     )
 
 
 REVERSE_LINK_SQL = """
 SELECT l_partkey AS target_id,
        len(list_sort(list_distinct(list(l_orderkey)))) AS n_parents,
-       list_sort(list_distinct(list(l_orderkey))) AS parent_ids
+       coalesce(array_to_string(list_sort(list_distinct(list(l_orderkey))), ','), '') AS parent_ids
 FROM lineitem GROUP BY 1
 """
 

@@ -26,8 +26,17 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
-            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+        # The driver's canon does NOT handle list cells (pandas sort dies
+        # with "unhashable type: 'list'") — so neither do we: any array
+        # column reaching the gate is a hard failure here too. Serialize
+        # arrays with array_join/to_json in the query itself.
+        if s.dtype == object and len(s.dropna()) and isinstance(
+            s.dropna().iloc[0], (list, tuple)
+        ):
+            raise TypeError(
+                f"column {c!r} holds lists — the driver gate cannot sort "
+                "these; serialize with array_join/to_json in the query"
+            )
         try:
             import numpy as np
 
@@ -78,7 +87,12 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        a, b = _norm(mine), _norm(ref)
+        try:
+            a, b = _norm(mine), _norm(ref)
+        except TypeError as e:
+            print(f"FAIL  {name}: {e}")
+            n_fail += 1
+            continue
         if len(a) != len(b):
             print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
             n_fail += 1
