@@ -45,31 +45,63 @@ FROM documents GROUP BY 1
 """
 
 
-# --- MinHash signatures (8 hashes) + LSH banding (4 bands of 2)
-def minhash_lsh_buckets(spark, sf):
+# --- MinHash signatures + LSH banding. 16 hashes in 8 bands of 2: the
+# signature is computed ONCE (one explode→distinct→hash-agg pass) and
+# all band buckets are emitted from it in a single explode(array(...))
+# projection — no per-band unions, so the upstream is never re-executed.
+_N_HASHES = 16
+_N_BANDS = 8
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+def _minhash_sig(spark, sf):
     docs = load(spark, sf, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
     ).distinct()
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(8)
+        for i in range(_N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = []
-    for b in range(4):
-        bands.append(
-            sig.select(
-                "doc_id",
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_buckets(sig):
+    """(doc_id, band, bucket) — one row per band, emitted in one pass."""
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).cast("int").alias("band"),
-                F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
-                    "bucket"
-                ),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{_ROWS_PER_BAND * b + r}") for r in range(_ROWS_PER_BAND)]
+                    )
+                ).alias("bucket"),
             )
-        )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
+            for b in range(_N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", "e.band", "e.bucket"
+    )
+
+
+_SIG_DUCK = f"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents)
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5(concat('{i}|', shingle))) AS mh{i}" for i in range(_N_HASHES))}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b}::INT AS band, md5(concat(mh{_ROWS_PER_BAND * b}, mh{_ROWS_PER_BAND * b + 1})) AS bucket FROM sig" for b in range(_N_BANDS))}
+)
+"""
+
+
+def minhash_lsh_buckets(spark, sf):
+    allb = _band_buckets(_minhash_sig(spark, sf))
     return (
         allb.groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
@@ -78,79 +110,102 @@ def minhash_lsh_buckets(spark, sf):
 
 
 MINHASH_SQL = f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, shingle
-  FROM (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents)
-), sig AS (
-  SELECT doc_id,
-         {", ".join(f"min(md5(concat('{i}|', shingle))) AS mh{i}" for i in range(8))}
-  FROM sh GROUP BY doc_id
-), bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b}::INT AS band, md5(concat(mh{2 * b}, mh{2 * b + 1})) AS bucket FROM sig" for b in range(4))}
-)
+WITH {_SIG_DUCK}
 SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS min_doc
 FROM bands GROUP BY band, bucket HAVING count(*) >= 1
 """
 
 
-# --- SimHash (16-bit) from token md5 digits
+# --- SimHash (64-bit) from token md5 digits. 64 bits = two 32-bit
+# halves so each half stays comfortably inside a signed BIGINT in both
+# engines: bits 0-31 from md5(t), bits 32-63 from md5('s|' || t).
+# Still one explode + one hash-agg pass — corpus-scale near-dup needs
+# the full 64 bits for a usable Hamming-distance threshold.
 def simhash(spark, sf):
     docs = load(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).distinct()
-    tok = tok.withColumn("h", F.md5("t"))
+    tok = tok.withColumn("h", F.md5("t")).withColumn(
+        "h2", F.md5(F.concat(F.lit("s|"), F.col("t")))
+    )
     # digit b of the md5 → weight in [-7.5, +7.5]; bit = sum > 0
     bit_cols = []
-    for b in range(16):
-        w = (
-            F.expr(f"instr('0123456789abcdef', substring(h, {b + 1}, 1))") - 8.5
-        )
+    for b in range(32):
+        w = F.expr(f"instr('0123456789abcdef', substring(h, {b + 1}, 1))") - 8.5
         bit_cols.append(F.sum(w).alias(f"s{b}"))
+        w2 = F.expr(f"instr('0123456789abcdef', substring(h2, {b + 1}, 1))") - 8.5
+        bit_cols.append(F.sum(w2).alias(f"u{b}"))
     sums = tok.groupBy("doc_id").agg(*bit_cols)
-    expr = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
-    )
+    lo = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    hi = " + ".join(f"(CASE WHEN u{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
     return sums.select(
-        "doc_id", F.expr(f"cast({expr} as bigint)").alias("simhash16")
+        "doc_id",
+        F.expr(f"cast({lo} as bigint)").alias("simhash_lo"),
+        F.expr(f"cast({hi} as bigint)").alias("simhash_hi"),
     )
 
 
 SIMHASH_SQL = f"""
 WITH tok AS (
-  SELECT DISTINCT doc_id, md5(t) AS h
+  SELECT DISTINCT doc_id, md5(t) AS h, md5(concat('s|', t)) AS h2
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
 ), sums AS (
   SELECT doc_id,
-         {", ".join(f"sum(strpos('0123456789abcdef', substring(h, {b + 1}, 1)) - 8.5) AS s{b}" for b in range(16))}
+         {", ".join(f"sum(strpos('0123456789abcdef', substring(h, {b + 1}, 1)) - 8.5) AS s{b}" for b in range(32))},
+         {", ".join(f"sum(strpos('0123456789abcdef', substring(h2, {b + 1}, 1)) - 8.5) AS u{b}" for b in range(32))}
   FROM tok GROUP BY doc_id
 )
 SELECT doc_id,
-       ({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))})::BIGINT AS simhash16
+       ({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_lo,
+       ({" + ".join(f"(CASE WHEN u{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_hi
 FROM sums
 """
 
 
-# --- n-gram Jaccard similarity on adjacent-doc pairs
+# --- n-gram Jaccard verify over LSH candidate pairs. This is the real
+# near-dup pipeline end to end: candidates are generated WITHIN MinHash
+# band buckets (a self-join keyed on (band, bucket), never all-pairs),
+# deduped across bands, then verified with exact shingle Jaccard. At
+# 100 TB the candidate join is bounded by bucket sizes (b·r tuned so
+# buckets stay small), and the verify join touches only candidates.
 def ngram_jaccard_pairs(spark, sf):
     docs = load(spark, sf, "documents").select(
         "doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    joined = a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    un = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    allb = _band_buckets(_minhash_sig(spark, sf))
+    a, b = allb.alias("a"), allb.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id")
+        )
+        .distinct()
+    )
+    joined = cand.join(
+        docs.select(F.col("doc_id").alias("left_id"), F.col("sh").alias("sh_a")),
+        "left_id",
+    ).join(
+        docs.select(F.col("doc_id").alias("right_id"), F.col("sh").alias("sh_b")),
+        "right_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    un = F.size(F.array_union("sh_a", "sh_b"))
     return joined.select(
-        F.col("a.doc_id").alias("left_id"),
-        F.col("b.doc_id").alias("right_id"),
-        F.round(inter / un, 4).alias("jaccard"),
+        "left_id", "right_id", F.round(inter / un, 4).alias("jaccard")
     )
 
 
 JACCARD_SQL = f"""
-WITH d AS (SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh FROM documents)
-SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+WITH {_SIG_DUCK},
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+d AS (SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh FROM documents)
+SELECT left_id, right_id,
        round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id
+FROM cand JOIN d a ON left_id = a.doc_id JOIN d b ON right_id = b.doc_id
 """
 
 

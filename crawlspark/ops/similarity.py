@@ -17,9 +17,6 @@ from . import load
 _N_QUERIES = 5
 _TOP_K = 3
 
-# portable pseudo-random hyperplanes: component (p, d) from an md5 digit
-_PLANES = 4
-
 
 def _dot(a, b):
     return F.aggregate(
@@ -73,63 +70,133 @@ SELECT qid, rank, nid, cosine FROM (
 """
 
 
-# --- LSH bucketing by hyperplane sign bits (ANN scale path).
-# Hyperplane components derive from md5 digits → identical in both
-# engines without shipping a weights table.
-def _plane_weight_spark(p: int) -> str:
-    # weight for plane p at dimension i (1-based): md5 digit - 7.5
-    return (
-        f"instr('0123456789abcdef', substring(md5(concat('{p}_', cast(i as string))), 1, 1)) - 8.5"
+# --- LSH bucketing by hyperplane sign bits (ANN scale path), sized
+# for corpus scale: _TABLES banded hash tables × _BITS planes each
+# (24 planes total). Each vector lands in one bucket per table; higher
+# recall comes from the table count (like MinHash bands), and query-
+# side MULTI-PROBE additionally probes every Hamming-1 neighbor bucket.
+# At 10^9 vectors each table splits the corpus into 2^_BITS buckets and
+# the within-bucket join is bounded by bucket size — never all-pairs.
+#
+# Hyperplane weights are md5-derived but precomputed at plan-build time
+# (hashlib here ≡ md5() in both engines) and embedded as literals, so
+# the per-row work is 24 dot products — zero per-row hashing.
+_TABLES = 4
+_BITS = 6
+_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    import hashlib
+
+    hexd = "0123456789abcdef"
+    ws = []
+    for p in range(_TABLES * _BITS):
+        row = []
+        for i in range(1, _DIM + 1):
+            d = hashlib.md5(f"{p}_{i}".encode()).hexdigest()[0]
+            row.append(hexd.index(d) + 1 - 8.5)  # = instr(hexd, d) - 8.5
+        ws.append(row)
+    return ws
+
+
+_W = _plane_weights()
+
+
+def _bucket_entries(emb):
+    """(vec_id, tbl, bucket) — one row per hash table, one pass."""
+    dots = [
+        _dot(F.col("embedding"), F.array(*[F.lit(w) for w in _W[p]]))
+        for p in range(_TABLES * _BITS)
+    ]
+    buckets = [
+        sum(
+            F.when(dots[t * _BITS + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_BITS)
+        ).cast("int")
+        for t in range(_TABLES)
+    ]
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).cast("int").alias("tbl"), buckets[t].alias("bucket"))
+            for t in range(_TABLES)
+        ]
+    )
+    return emb.select("vec_id", F.explode(entries).alias("e")).select(
+        "vec_id", "e.tbl", "e.bucket"
     )
 
 
 def embedding_lsh_buckets(spark, sf):
-    emb = load(spark, sf, "embeddings")
-    bits = []
-    for p in range(_PLANES):
-        dot = (
-            f"aggregate(zip_with(embedding, transform(sequence(1, size(embedding)), "
-            f"i -> {_plane_weight_spark(p)}), (x, w) -> cast(x as double) * w), "
-            f"cast(0.0 as double), (acc, v) -> acc + v)"
-        )
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return emb.select(
-        "vec_id",
-        F.expr(f"cast({' + '.join(bits)} as int)").alias("bucket"),
+    return _bucket_entries(load(spark, sf, "embeddings"))
+
+
+def _duck_dot(p: int, col: str = "embedding") -> str:
+    lits = ", ".join(repr(w) for w in _W[p])
+    return (
+        f"list_sum(list_transform(generate_series(1, {_DIM}), "
+        f"i -> {col}[i]::DOUBLE * ([{lits}][i])::DOUBLE))"
     )
 
 
-def _lsh_duck() -> str:
-    bits = []
-    for p in range(_PLANES):
-        dot = (
-            f"list_sum(list_transform(generate_series(1, len(embedding)), "
-            f"i -> embedding[i]::DOUBLE * (strpos('0123456789abcdef', substring(md5(concat('{p}_', i::VARCHAR)), 1, 1)) - 8.5)))"
-        )
-        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return f"SELECT vec_id, ({' + '.join(bits)})::INT AS bucket FROM embeddings"
+def _duck_bucket(t: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_duck_dot(t * _BITS + j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_BITS)
+    )
+    return f"({bits})::INT"
 
 
-LSH_SQL = _lsh_duck()
+_BUCKETS_DUCK = " UNION ALL ".join(
+    f"SELECT vec_id, {t}::INT AS tbl, {_duck_bucket(t)} AS bucket FROM embeddings"
+    for t in range(_TABLES)
+)
+
+LSH_SQL = _BUCKETS_DUCK
 
 
-# --- within-bucket ANN: buckets bound candidate pairs (join key =
-# bucket), demonstrating the shuffle-bounded plan shape used at scale
+# --- banded multi-probe ANN: query entries probe their own bucket plus
+# every Hamming<=2 neighbor in each table; candidates are the union over
+# tables, deduped, then exactly scored. Join keys: (tbl, bucket).
+# Probe depth 2 is what the fixture needs for recall@3 >= 0.9 (the test
+# corpus is 500 RANDOM vectors, so true neighbors sit near the decision
+# boundaries); at 10^9 real vectors you keep probe depth and grow _BITS
+# so per-table buckets stay ~1k rows.
+_PROBE_MASKS = (
+    [0]
+    + [1 << j for j in range(_BITS)]
+    + [(1 << a) | (1 << b) for a in range(_BITS) for b in range(a + 1, _BITS)]
+)
+
+
 def lsh_ann_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
-    b = embedding_lsh_buckets(spark, sf)
-    ev = emb.join(b, "vec_id")
-    a = ev.select(
-        F.col("bucket"), F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    ).filter(F.col("qid") < _N_QUERIES * 10)
-    c = ev.select(
-        F.col("bucket").alias("bucket2"),
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("nv"),
+    entries = _bucket_entries(emb)
+    probes = F.array(*[F.lit(m) for m in _PROBE_MASKS])
+    q_probe = (
+        entries.filter(F.col("vec_id") < _N_QUERIES * 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "tbl",
+            F.explode(
+                F.transform(probes, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("bucket"),
+        )
     )
-    pairs = a.join(c, (a.bucket == c.bucket2) & (F.col("qid") != F.col("nid")))
+    cand = entries.select(
+        F.col("vec_id").alias("nid"), "tbl", "bucket"
+    )
+    pairs = (
+        q_probe.join(cand, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    ql = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nl = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    joined = pairs.join(ql, "qid").join(nl, "nid")
     cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
-    scored = pairs.select("qid", "nid", F.round(cos, 4).alias("cosine"))
+    scored = joined.select("qid", "nid", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -139,21 +206,29 @@ def lsh_ann_topk(spark, sf):
 
 
 LSH_ANN_SQL = f"""
-WITH b AS ({_lsh_duck()}),
-ev AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+WITH entries AS ({_BUCKETS_DUCK}),
+q_probe AS (
+  SELECT vec_id AS qid, tbl, xor(bucket, m)::INT AS bucket
+  FROM entries, unnest({_PROBE_MASKS}) AS t(m)
+  WHERE vec_id < {_N_QUERIES * 10}
+),
 pairs AS (
-  SELECT a.vec_id AS qid, c.vec_id AS nid,
+  SELECT DISTINCT q.qid, c.vec_id AS nid
+  FROM q_probe q JOIN entries c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.qid <> c.vec_id
+),
+scored AS (
+  SELECT qid, nid,
          round(
-           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
            / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
-              * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
-  FROM ev a JOIN ev c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
-  WHERE a.vec_id < {_N_QUERIES * 10}
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+  FROM pairs JOIN embeddings a ON qid = a.vec_id JOIN embeddings b ON nid = b.vec_id
 )
 SELECT qid, rank, nid, cosine FROM (
   SELECT qid, nid, cosine,
          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
-  FROM pairs
+  FROM scored
 ) WHERE rank <= {_TOP_K}
 """
 
