@@ -5,14 +5,14 @@ Generalizes the reference's crawl lifecycle
 (mendeley/MendeleyDocumentCrawler.java:59-122: pager → retry → handlers
 → atomic alias publish) into:
 
-    frontier scan
-      → reduce per-URL state (retries supersede; min (not_before, depth))
-      → URL-seen split: cuckoo pre-filter → exact anti-join on maybe-set
+    pending-frontier scan (ripe rows: not_before <= round)
       → robots filter (denied URLs become seen, consume no budget)
       → per-host politeness budget (salted window rank, total order)
       → status = f(url, retry) (pure, replayable)
       → vectorized fetch of 200s (Arrow batches)
-      → appends: images, fetch_log, url_seen(+cuckoo), frontier deltas
+      → appends: images, fetch_log, url_seen(+cuckoo)
+      → frontier update: survivors − touched ∪ retries ∪ (outlinks
+        ∖ URL-seen via cuckoo pre-filter + exact anti-join)
       → round manifest commit (table snapshot ids + counters + lineage)
 
 Crash recovery: the round manifest names every table's snapshot id; on
@@ -21,10 +21,22 @@ killed run replays the next round bit-identically (T4 generalization of
 the reference's in-memory nextUrl marker, mendeley/MendeleyPager.java:
 87-99, which loses all progress on crash).
 
-The frontier is APPEND-ONLY: pending = frontier rows minus the seen
-set, reduced per URL. No read-modify-write of frontier partitions →
-Iceberg-friendly at 10^10 rows (only the seen-set anti-join scales with
-frontier size, and it is bucketed + cuckoo-prefiltered).
+The frontier is a MATERIALIZED pending table with the invariant
+``pending ∩ seen = ∅`` and exactly one row per URL (retries supersede;
+min (not_before, depth) otherwise). Selection is therefore a pure
+scan + filter — no per-round reduce over crawl history, no per-round
+anti-join of the whole frontier against the seen set. The seen-set
+check (cuckoo pre-filter splitting definitely-new from maybe-seen,
+exact anti-join only for the maybe slice) runs every round on the NEW
+URL stream (outlinks) before it enters the frontier — the only place
+it is needed once the invariant holds. Per-URL reduce is associative
+(max over the (retry_count, -not_before, -depth) lattice), so the
+incremental merge is exactly equivalent to re-reducing the full
+append history. At 10^10 rows the pending and seen tables are
+bucketed by url_hash so the per-round merge/anti-join are
+storage-partitioned (shuffle-free) joins touching only dirty buckets;
+host and priority are materialized at insert so the selection scan
+carries no per-round recomputation.
 """
 
 from __future__ import annotations
@@ -39,7 +51,7 @@ from pyspark.sql import types as T
 
 from .canon import canonicalize
 from .fetch import expand_outlinks, fetch_images, with_status
-from .hashing import h60, h60_sql
+from .hashing import h60
 from .politeness import filter_robots, select_budget
 from .snaptable import SnapTable
 from .synth import SynthConfig
@@ -54,6 +66,10 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("retry_count", T.IntegerType(), False),
         T.StructField("not_before", T.IntegerType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        # materialized at insert (pure functions of url) so the
+        # selection path is a scan, not a recomputation
+        T.StructField("host", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
     ]
 )
 SEEN_SCHEMA = T.StructType(
@@ -200,38 +216,31 @@ class CrawlEngine:
         return m["round_id"] + 1
 
     # ------------------------------------------------------------ seeds
-    def add_seeds(self, seeds_df: DataFrame) -> None:
-        """Canonicalize + dedup seed URLs into the frontier (round 0)."""
-        rows = (
-            seeds_df.select(
-                canonicalize("url").alias("url"),
-                F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
-            )
-            .groupBy("url")
-            .agg(F.min("depth").alias("depth"))
-            .select(
-                "url",
-                F.lit(0).cast("int").alias("retry_count"),
-                F.lit(0).cast("int").alias("not_before"),
-                "depth",
-            )
-        )
-        self.frontier.append(rows)
+    @staticmethod
+    def _with_host_priority(df: DataFrame) -> DataFrame:
+        from .hashing import unit
 
-    # ------------------------------------------------------------ round
-    def _pending(self, round_id: int) -> DataFrame:
-        """Reduce the append-only frontier to per-URL pending state and
-        drop anything already seen."""
-        fr = self.frontier.read(self.spark)
-        # retries supersede (max retry_count); else min (not_before, depth)
-        reduced = (
-            fr.groupBy("url")
+        return df.withColumn(
+            "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+        ).withColumn("priority", unit(F.col("url"), "|prio"))
+
+    @staticmethod
+    def _reduce_per_url(df: DataFrame) -> DataFrame:
+        """One row per URL: retries supersede (max retry_count), then
+        min (not_before, depth). Associative/commutative (max over a
+        lexicographic lattice), so incremental merges are equivalent to
+        reducing the full history. host/priority are pure functions of
+        url, hence identical across a group and safe to carry."""
+        return (
+            df.groupBy("url")
             .agg(
                 F.max(
                     F.struct(
                         F.col("retry_count"),
                         (-F.col("not_before")).alias("nnb"),
                         (-F.col("depth")).alias("nd"),
+                        F.col("host"),
+                        F.col("priority"),
                     )
                 ).alias("s")
             )
@@ -240,32 +249,46 @@ class CrawlEngine:
                 F.col("s.retry_count").alias("retry_count"),
                 (-F.col("s.nnb")).cast("int").alias("not_before"),
                 (-F.col("s.nd")).cast("int").alias("depth"),
+                F.col("s.host").alias("host"),
+                F.col("s.priority").alias("priority"),
             )
         )
-        seen_df = self.seen.read(self.spark)
+
+    def add_seeds(self, seeds_df: DataFrame) -> None:
+        """Canonicalize + dedup seed URLs into the pending frontier."""
+        rows = self._with_host_priority(
+            seeds_df.select(
+                canonicalize("url").alias("url"),
+                F.lit(0).cast("int").alias("retry_count"),
+                F.lit(0).cast("int").alias("not_before"),
+                F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
+            )
+        )
+        self.frontier.append(self._reduce_per_url(rows))
+
+    # ------------------------------------------------------------ round
+    def _pending(self, round_id: int) -> DataFrame:
+        """Ripe pending rows — a pure scan + filter thanks to the
+        pending-table invariant (no seen rows, one row per URL,
+        host/priority materialized)."""
+        return self.frontier.read(self.spark).filter(
+            F.col("not_before") <= round_id
+        )
+
+    def _unseen_outlinks(self, outl: DataFrame, seen_df: DataFrame) -> DataFrame:
+        """Drop outlinks whose URL is already in the seen set: cuckoo
+        pre-filter splits definitely-new (checked only against the
+        small post-filter slice) from maybe-seen (exact anti-join)."""
         seen_urls = seen_df.select("url")
         if self.use_cuckoo:
-            # scale path: the cuckoo filter splits candidates; only the
-            # maybe-seen slice pays the exact anti-join against the full
-            # seen table. The filter lags <= cuckoo_every rounds, so
-            # "definitely new" is additionally checked against the small
-            # recent slice (round_id pushdown prunes the parquet scan).
             recent = seen_df.filter(
                 F.col("round_id") > self._cuckoo_upto
             ).select("url")
-            new, maybe = self.cuckoo.split_candidates(reduced, "url")
-            unseen = new.join(recent, "url", "left_anti").unionByName(
+            new, maybe = self.cuckoo.split_candidates(outl, "url")
+            return new.join(recent, "url", "left_anti").unionByName(
                 maybe.join(seen_urls, "url", "left_anti")
             )
-        else:
-            unseen = reduced.join(seen_urls, "url", "left_anti")
-        from .hashing import unit
-
-        return (
-            unseen.filter(F.col("not_before") <= round_id)
-            .withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
-            .withColumn("priority", unit(F.col("url"), "|prio"))
-        )
+        return outl.join(seen_urls, "url", "left_anti")
 
     def run_round(self, round_id: int) -> dict:
         """Execute one crawl round; returns counters (including the
@@ -282,7 +305,12 @@ class CrawlEngine:
                 print(f"[round {round_id}] {label:24s} {now - _t[0]:7.2f}s", flush=True)
                 _t[0] = now
 
-        pending = self._pending(round_id).cache()
+        # resolve table snapshots NOW (reads are manifest-pinned, so the
+        # concurrent appends below cannot shift what this round sees)
+        pending_all = self.frontier.read(self.spark)
+        seen_df = self.seen.read(self.spark)
+
+        pending = pending_all.filter(F.col("not_before") <= round_id).cache()
         allowed, denied = filter_robots(pending, self.robots)
         denied = denied.cache()
         selected = with_status(select_budget(allowed, self.politeness)).cache()
@@ -295,7 +323,7 @@ class CrawlEngine:
             "status",
             "retry_count",
         )
-        ok = selected.filter(F.col("status") == 200).cache()
+        ok = selected.filter(F.col("status") == 200)
         # lineage rides the write action via an accumulator — no extra job
         acc = self.spark.sparkContext.accumulator({}, _DictAccum())
         # EXPLICIT SKEW SPLIT before the fetch stage: the politeness
@@ -344,6 +372,8 @@ class CrawlEngine:
             # linear backoff in rounds (T2: retry# × httpTimeout)
             (F.lit(round_id) + F.col("retry_count") + 1).cast("int").alias("not_before"),
             "depth",
+            "host",
+            "priority",
         )
         outlinks = (
             expand_outlinks(
@@ -355,6 +385,12 @@ class CrawlEngine:
             .select(canonicalize("dst_url").alias("url"), "depth")
             .groupBy("url")
             .agg(F.min("depth").alias("depth"))
+        )
+        new_rows = self._with_host_priority(
+            self._unseen_outlinks(outlinks, seen_df)
+            # exclude URLs that become seen THIS round (outlink to a
+            # page fetched/denied in the same round)
+            .join(newly_seen.select("url"), "url", "left_anti")
             .select(
                 "url",
                 F.lit(0).cast("int").alias("retry_count"),
@@ -362,19 +398,28 @@ class CrawlEngine:
                 F.col("depth").cast("int"),
             )
         )
+        # pending-table update: rows leaving (selected → seen or retry;
+        # denied → seen) are anti-joined out; retries and brand-new
+        # outlinks merge in via the associative per-URL reduce.
+        touched = selected.select("url").unionByName(denied.select("url"))
+        survivors = pending_all.join(touched, "url", "left_anti")
+        pending_next = self._reduce_per_url(
+            survivors.unionByName(retries).unionByName(new_rows)
+        )
 
         # ---- execute the round's independent actions CONCURRENTLY.
-        # All five jobs share the cached pending/selected/ok inputs; only
+        # All jobs share the cached pending/denied/selected inputs; only
         # the images job runs the fetch stage. Commit point (the round
         # manifest) comes after every job has finished, so atomicity and
         # resume semantics are unchanged — this only overlaps stage
-        # latency, which otherwise serializes ~20 small stages per round.
+        # latency, which otherwise serializes the round's small stages.
         # NOTE: materialize the shared caches once before fan-out so the
         # concurrent jobs don't race to fill them.
+        # one materialization pass fills the pending+selected caches
+        # (denied is a cheap cached-scan branch, counted concurrently
+        # below under the fetch job's shadow)
         selected.count()
-        _tick("pending+select cache")
-        ok.count()
-        _tick("ok cache")
+        _tick("select cache")
         is504 = F.col("status") == 504
         rc = F.col("retry_count")
 
@@ -407,9 +452,7 @@ class CrawlEngine:
             f_img = ex.submit(self.images.append, images_df)
             f_log = ex.submit(self.fetch_log.append, log_df, None, 2)
             f_seen = ex.submit(self.seen.append, newly_seen, None, 2)
-            f_front = ex.submit(
-                self.frontier.append, retries.unionByName(outlinks), None, 2
-            )
+            f_front = ex.submit(self.frontier.overwrite, pending_next)
             f_stats = ex.submit(_stats)
             f_counts = ex.submit(lambda: (pending.count(), denied.count()))
             f_img.result()
@@ -463,31 +506,24 @@ class CrawlEngine:
         _tick("cuckoo maintenance")
 
         self._commit_round(round_id, counters, lineage)
-        for df in (pending, denied, selected, ok):
+        for df in (pending, denied, selected):
             df.unpersist()
-        # keep small-file counts bounded (Iceberg rewrite_data_files analogue)
+        # keep small-file counts bounded (Iceberg rewrite_data_files
+        # analogue); the pending table self-compacts via its per-round
+        # overwrite, only the append-only seen log needs it
         if round_id % 10 == 9:
-            self.frontier.maybe_compact(self.spark)
             self.seen.maybe_compact(self.spark)
         _tick("commit+compact")
         return counters
 
     def has_pending_work(self) -> bool:
-        fr = self.frontier.read(self.spark)
-        seen_urls = self.seen.read(self.spark).select("url")
-        return fr.join(seen_urls, "url", "left_anti").limit(1).count() > 0
+        # pending-table invariant: every row is unseen work
+        return self.frontier.read(self.spark).limit(1).count() > 0
 
     def _outstanding_rounds(self) -> list[int]:
-        """Rounds at which pending (unseen) frontier work exists — used
-        once at resume to rebuild the scheduler state."""
-        fr = self.frontier.read(self.spark)
-        seen_urls = self.seen.read(self.spark).select("url")
-        rows = (
-            fr.join(seen_urls, "url", "left_anti")
-            .select("not_before")
-            .distinct()
-            .collect()
-        )
+        """Rounds at which pending frontier work exists — used once at
+        resume to rebuild the scheduler state. A pure column scan."""
+        rows = self.frontier.read(self.spark).select("not_before").distinct().collect()
         return sorted(int(r["not_before"]) for r in rows)
 
     def run(self, max_rounds: int = 1000, stop_after: int | None = None) -> list[dict]:

@@ -48,11 +48,19 @@ def filter_robots(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, Dat
     return allowed, denied
 
 
-def select_budget(pending: DataFrame, politeness: DataFrame) -> DataFrame:
+def select_budget(
+    pending: DataFrame, politeness: DataFrame, default_budget: int = 16
+) -> DataFrame:
     """Pick the per-host top-``budget`` pending URLs by
     (priority DESC, url ASC); adds ``rank``. Deterministic total order.
+
+    Hosts absent from the politeness table get ``default_budget`` (left
+    join) — an inner join would silently drop their URLs every round:
+    never fetched, never marked seen, rescheduled forever.
     """
-    df = pending.join(F.broadcast(politeness), "host", "inner")
+    df = pending.join(F.broadcast(politeness), "host", "left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
+    )
     nsplits = F.when(F.col("budget") >= 50, F.lit(HOT_SPLITS)).otherwise(F.lit(1))
     df = df.withColumn(
         "_salt", F.pmod(F.expr(h60_sql("concat(url, '|salt')")), nsplits).cast("int")

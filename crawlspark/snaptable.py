@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,10 @@ class SnapTable:
         self.name = name or os.path.basename(path.rstrip("/"))
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
+        # commits are a read-modify-write of HEAD + the max snapshot id;
+        # the engine's concurrent round jobs write to DISTINCT tables,
+        # but guard same-table races anyway (ADVICE: lost-commit risk)
+        self._lock = threading.Lock()
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -71,6 +76,10 @@ class SnapTable:
         return mx
 
     def _commit(self, dirs: list[str], schema_json: str, meta: dict | None, op: str) -> int:
+        with self._lock:
+            return self._commit_locked(dirs, schema_json, meta, op)
+
+    def _commit_locked(self, dirs: list[str], schema_json: str, meta: dict | None, op: str) -> int:
         # ids never reused, even after rollback (history stays intact)
         sid = self._max_snapshot_id() + 1
         manifest = {
@@ -99,12 +108,15 @@ class SnapTable:
         return d
 
     def append(self, df: DataFrame, meta: dict | None = None, nfiles: int | None = None) -> int:
-        cur = self.current_manifest()
         if nfiles is not None:
             df = df.coalesce(nfiles)
         d = self._write_data(df)
-        dirs = (cur["dirs"] if cur else []) + [d]
-        return self._commit(dirs, df.schema.json(), meta, "append")
+        # manifest read + commit under the lock so two concurrent
+        # appends cannot both extend the same stale parent
+        with self._lock:
+            cur = self.current_manifest()
+            dirs = (cur["dirs"] if cur else []) + [d]
+            return self._commit_locked(dirs, df.schema.json(), meta, "append")
 
     def maybe_compact(self, spark: SparkSession, max_dirs: int = 24, nfiles: int = 8) -> bool:
         """Rewrite many small append dirs into one (Iceberg
@@ -120,6 +132,24 @@ class SnapTable:
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         d = self._write_data(df)
         return self._commit([d], df.schema.json(), meta, "overwrite")
+
+    def new_data_dir(self) -> str:
+        """Reserve a fresh data directory for a caller-managed write
+        (e.g. a partitioned write whose leaf dirs become manifest
+        entries via ``commit_dirs``)."""
+        return os.path.join(self.data_dir, f"d-{uuid.uuid4().hex}")
+
+    def commit_dirs(
+        self,
+        dirs: list[str],
+        schema: T.StructType,
+        meta: dict | None = None,
+        op: str = "overwrite",
+    ) -> int:
+        """Commit an explicit set of data directories — the partition-
+        overwrite analogue: callers replace only the dirs they rewrote
+        and carry forward the untouched ones."""
+        return self._commit(list(dirs), schema.json(), meta, op)
 
     def commit_empty(self, schema: T.StructType, meta: dict | None = None) -> int:
         """Create the table at snapshot 1 with zero rows (schema pinned)."""

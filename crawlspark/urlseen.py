@@ -67,6 +67,14 @@ class CuckooSeen:
     """Partitioned cuckoo filter over a SnapTable."""
 
     def __init__(self, path: str, n_pg: int = 32, buckets_per_pg: int = 4096) -> None:
+        # alt-bucket math (bk ^ fp*C) % k is an involution ONLY for
+        # power-of-two k — any other k silently relocates evicted
+        # fingerprints to buckets the read path never probes, breaking
+        # the no-false-negatives invariant
+        if buckets_per_pg <= 0 or buckets_per_pg & (buckets_per_pg - 1):
+            raise ValueError(
+                f"buckets_per_pg must be a power of two, got {buckets_per_pg}"
+            )
         self.table = SnapTable(path, "cuckoo_seen")
         self.n_pg = n_pg
         self.k = buckets_per_pg
@@ -76,11 +84,29 @@ class CuckooSeen:
     # ------------------------------------------------------------ write
     def insert(self, urls: DataFrame, url_col: str = "url") -> int:
         """Merge new URLs into the filter state. One shuffle (groupBy pg);
-        the cuckoo walk runs vectorized per partition group."""
+        the cuckoo walk runs vectorized per partition group.
+
+        INCREMENTAL: only partition groups receiving inserts are rebuilt
+        and rewritten; untouched pgs keep their existing data files in
+        the new snapshot (the Iceberg partition-overwrite analogue) — at
+        10^10 URLs the filter is tens of GB, so full rewrites per insert
+        batch would dominate maintenance cost."""
         spark = urls.sparkSession
         cand = _with_fp_buckets(urls.select(url_col), url_col, self.n_pg, self.k)
         new_rows = cand.select("pg", "fp", "b1", "b2")
-        state = self.table.read(spark)
+        m = self.table.current_manifest()
+        old_pg_dirs: dict[str, str] = dict((m.get("meta") or {}).get("pg_dirs", {}))
+        dirty = sorted(
+            int(r["pg"]) for r in new_rows.select("pg").distinct().collect()
+        )
+        if not dirty:
+            return self.table.current_snapshot_id()
+        dirty_dirs = [old_pg_dirs[str(p)] for p in dirty if str(p) in old_pg_dirs]
+        state = (
+            spark.read.schema(FILTER_SCHEMA).parquet(*dirty_dirs)
+            if dirty_dirs
+            else spark.createDataFrame([], FILTER_SCHEMA)
+        )
         # pack existing state rows alongside inserts; b1 = bucket marks state
         state_packed = state.select(
             "pg", "fp", F.col("bucket").alias("b1"), F.lit(None).cast("bigint").alias("b2")
@@ -141,7 +167,23 @@ class CuckooSeen:
             return pd.DataFrame(out, columns=["pg", "bucket", "fp"])
 
         new_state = both.groupBy("pg").applyInPandas(rebuild, FILTER_SCHEMA)
-        return self.table.overwrite(new_state)
+        # write the rebuilt dirty pgs partitioned by pg (pg kept as a
+        # data column too, so leaf dirs read back standalone), then
+        # commit a manifest mapping every pg to its current data dir
+        d = self.table.new_data_dir()
+        new_state.withColumn("pg_part", F.col("pg")).write.partitionBy(
+            "pg_part"
+        ).mode("overwrite").parquet(d)
+        pg_dirs = dict(old_pg_dirs)
+        import os as _os
+
+        for sub in _os.listdir(d):
+            if sub.startswith("pg_part="):
+                pg_dirs[sub.split("=", 1)[1]] = _os.path.join(d, sub)
+        dirs = sorted(set(pg_dirs.values()))
+        return self.table.commit_dirs(
+            dirs, FILTER_SCHEMA, {"pg_dirs": pg_dirs}, "overwrite"
+        )
 
     # ------------------------------------------------------------- read
     def split_candidates(
