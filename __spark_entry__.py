@@ -27,8 +27,14 @@ if _REPO_ROOT not in sys.path:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one crawl round at sf0.001 — the end-to-end slice of
-    SURVEY.md §7.2 step 2. Returns the fetched image rows (metadata;
-    bytes kept, driver may collect)."""
+    SURVEY.md §7.2 step 2. Returns the fetched image rows' metadata
+    (image_id/url/w/h/fmt/caption/phash/round_id; the binary column
+    stays in the crawl's images table) as a LAZY DataFrame over the
+    crawl output — no driver round-trip. The crawl workdir is kept for
+    the life of the process (atexit cleanup) so the driver can collect
+    whenever it likes."""
+    import atexit
+
     from pyspark.sql import functions as F
 
     from crawlspark.engine import CrawlEngine
@@ -46,20 +52,15 @@ def entry(spark: SparkSession) -> DataFrame:
         F.lit(0).cast("int").alias("depth"),
     )
     workdir = tempfile.mkdtemp(prefix="crawlspark_entry_")
-    try:
-        eng = CrawlEngine(
-            spark, workdir, SynthConfig(n_seeds=50, n_hosts=7, max_depth=1), cuckoo_pg=8
-        )
-        eng.add_seeds(seeds)
-        eng.run(max_rounds=6)
-        out = eng.images.read(spark).select(
-            "image_id", "url", "w", "h", "fmt", "caption", "phash", "round_id"
-        )
-        # materialize before the workdir is cleaned up
-        pdf = out.toPandas()
-        return spark.createDataFrame(pdf, schema=out.schema)
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    eng = CrawlEngine(
+        spark, workdir, SynthConfig(n_seeds=50, n_hosts=7, max_depth=1), cuckoo_pg=8
+    )
+    eng.add_seeds(seeds)
+    eng.run(max_rounds=6)
+    return eng.images.read(spark).select(
+        "image_id", "url", "w", "h", "fmt", "caption", "phash", "round_id"
+    )
 
 
 def _registry():
@@ -69,6 +70,7 @@ def _registry():
         docpipe,
         enrich,
         multimodal,
+        querysurface,
         relational,
         similarity,
         streaming,
@@ -81,6 +83,7 @@ def _registry():
         dedup,
         docpipe,
         enrich,
+        querysurface,
         text,
         similarity,
         multimodal,
