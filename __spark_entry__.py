@@ -70,6 +70,7 @@ def _registry():
         docpipe,
         enrich,
         multimodal,
+        nested,
         querysurface,
         relational,
         similarity,
@@ -83,6 +84,7 @@ def _registry():
         dedup,
         docpipe,
         enrich,
+        nested,
         querysurface,
         text,
         similarity,

@@ -128,6 +128,7 @@ class CrawlEngine:
         use_cuckoo: bool = True,
         cuckoo_pg: int = 32,
         cuckoo_every: int = 5,
+        recrawl_after: int | None = None,
     ) -> None:
         from .synth import gen_politeness, gen_robots
 
@@ -140,6 +141,12 @@ class CrawlEngine:
         # anti-join against the (small) recent slice of url_seen
         self.cuckoo_every = cuckoo_every
         self._cuckoo_upto = -1
+        # recrawl TTL (rounds): URLs seen with status 200 re-enter the
+        # frontier recrawl_after rounds later and are fetched again;
+        # the seen table is then maintained with MERGE (last write
+        # wins, upsert-by-url) instead of append — the reference's
+        # upsert-by-_id recrawl semantics at crawler scale.
+        self.recrawl_after = recrawl_after
         os.makedirs(workdir, exist_ok=True)
         self.frontier = SnapTable(os.path.join(workdir, "frontier"))
         self.seen = SnapTable(os.path.join(workdir, "url_seen"))
@@ -403,9 +410,33 @@ class CrawlEngine:
         # outlinks merge in via the associative per-URL reduce.
         touched = selected.select("url").unionByName(denied.select("url"))
         survivors = pending_all.join(touched, "url", "left_anti")
-        pending_next = self._reduce_per_url(
-            survivors.unionByName(retries).unionByName(new_rows)
-        )
+        merge_in = survivors.unionByName(retries).unionByName(new_rows)
+        due = None
+        if self.recrawl_after is not None:
+            # recrawl TTL: 200-seen URLs past their TTL re-enter the
+            # frontier (touched rows excluded — they were refreshed
+            # THIS round and seen_df predates the merge). Re-enqueueing
+            # an already-pending URL is idempotent under the reduce.
+            due = (
+                seen_df.filter(
+                    (F.col("status") == 200)
+                    & (F.col("round_id") <= round_id - self.recrawl_after)
+                )
+                .select("url")
+                .distinct()
+                .join(touched, "url", "left_anti")
+                .cache()
+            )
+            recrawl_rows = self._with_host_priority(
+                due.select(
+                    "url",
+                    F.lit(0).cast("int").alias("retry_count"),
+                    F.lit(round_id + 1).cast("int").alias("not_before"),
+                    F.lit(0).cast("int").alias("depth"),
+                )
+            )
+            merge_in = merge_in.unionByName(recrawl_rows)
+        pending_next = self._reduce_per_url(merge_in)
 
         # ---- execute the round's independent actions CONCURRENTLY.
         # All jobs share the cached pending/denied/selected inputs; only
@@ -451,7 +482,11 @@ class CrawlEngine:
             # mapInPandas fetch; maybe_compact() bounds file counts
             f_img = ex.submit(self.images.append, images_df)
             f_log = ex.submit(self.fetch_log.append, log_df, None, 2)
-            f_seen = ex.submit(self.seen.append, newly_seen, None, 2)
+            if self.recrawl_after is None:
+                f_seen = ex.submit(self.seen.append, newly_seen, None, 2)
+            else:
+                f_seen = ex.submit(self.seen.merge, newly_seen, ["url"], 8)
+            f_due = ex.submit(due.count) if due is not None else None
             f_front = ex.submit(self.frontier.overwrite, pending_next)
             f_stats = ex.submit(_stats)
             f_counts = ex.submit(lambda: (pending.count(), denied.count()))
@@ -462,6 +497,7 @@ class CrawlEngine:
             f_front.result()
             stats = f_stats.result()
             n_pending, n_denied = f_counts.result()
+            n_due = f_due.result() if f_due is not None else 0
             _tick("other appends+stats")
 
         lineage = sorted(
@@ -492,6 +528,15 @@ class CrawlEngine:
                     and int(n_pending) - int(n_denied) - int(stats["selected"] or 0) > 0
                     else set()
                 )
+                # recrawl scheduling: rows enqueued now fetch next
+                # round; rows fetched now come due after the TTL
+                | ({round_id + 1} if n_due > 0 else set())
+                | (
+                    {round_id + self.recrawl_after}
+                    if self.recrawl_after is not None
+                    and int(stats["fetched"] or 0) > 0
+                    else set()
+                )
             ),
         }
 
@@ -506,7 +551,7 @@ class CrawlEngine:
         _tick("cuckoo maintenance")
 
         self._commit_round(round_id, counters, lineage)
-        for df in (pending, denied, selected):
+        for df in (pending, denied, selected) + ((due,) if due is not None else ()):
             df.unpersist()
         # keep small-file counts bounded (Iceberg rewrite_data_files
         # analogue); the pending table self-compacts via its per-round
@@ -522,9 +567,20 @@ class CrawlEngine:
 
     def _outstanding_rounds(self) -> list[int]:
         """Rounds at which pending frontier work exists — used once at
-        resume to rebuild the scheduler state. A pure column scan."""
+        resume to rebuild the scheduler state. A pure column scan,
+        plus the earliest recrawl due-round when a TTL is configured."""
         rows = self.frontier.read(self.spark).select("not_before").distinct().collect()
-        return sorted(int(r["not_before"]) for r in rows)
+        out = sorted(int(r["not_before"]) for r in rows)
+        if self.recrawl_after is not None:
+            m = (
+                self.seen.read(self.spark)
+                .filter(F.col("status") == 200)
+                .agg(F.min("round_id"))
+                .collect()[0][0]
+            )
+            if m is not None:
+                out.append(int(m) + self.recrawl_after)
+        return sorted(set(out))
 
     def run(self, max_rounds: int = 1000, stop_after: int | None = None) -> list[dict]:
         """Run rounds until the frontier is exhausted (or limits hit).

@@ -73,6 +73,14 @@ def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
     (a dict accumulator) is given, per-partition row counts are
     accumulated for free with whatever action consumes this DataFrame —
     no separate counting job.
+
+    NOTE: the accumulator updates inside a TRANSFORMATION, so Spark
+    only guarantees exactly-once counts in local mode / non-speculative
+    single-attempt runs; on a cluster with task retries or speculation
+    the counters are ADVISORY. The authoritative per-partition lineage
+    is derivable from the written images table itself
+    (groupBy(part_id).count() over the round's append) — the engine
+    treats the accumulator as a zero-cost advisory copy of that.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

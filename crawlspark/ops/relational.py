@@ -198,10 +198,25 @@ SELECT s_nationkey::INT AS nationkey FROM supplier
 # --- A3: batch grouping by running counter
 # (groupingBy(counter/batchSize), ElasticSearchIndexHandler.java:191-201)
 def batch_grouping(spark, sf):
+    """Two-phase global row-number: a naive Window.orderBy(event_id)
+    funnels the ENTIRE table through one task. Instead: rank locally
+    within id-range shards (parallel windows), aggregate per-shard
+    counts (tiny), turn them into cumulative offsets with a window
+    over the SHARD-LEVEL rows only, and broadcast the offsets back.
+    Identical result, no global sort, no single-task stage."""
     ev = load(spark, sf, "events")
-    w = Window.orderBy(F.col("event_id").asc())
+    shard = F.floor(F.col("event_id") / 10_000).alias("rk")
+    local = ev.select("event_id", shard).withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("rk").orderBy("event_id"))
+    )
+    counts = local.groupBy("rk").agg(F.count("*").alias("c"))
+    w_off = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
+    ).select("rk", "off")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        local.join(F.broadcast(offsets), "rk")
+        .withColumn("rn", F.col("off") + F.col("lrn"))
         .withColumn("batch_id", F.floor((F.col("rn") - 1) / 50).cast("bigint"))
         .groupBy("batch_id")
         .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))

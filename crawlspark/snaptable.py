@@ -133,6 +133,23 @@ class SnapTable:
         d = self._write_data(df)
         return self._commit([d], df.schema.json(), meta, "overwrite")
 
+    def merge(self, df: DataFrame, keys: list[str], nfiles: int | None = None) -> int:
+        """Keyed last-write-wins upsert (Iceberg ``MERGE INTO ... WHEN
+        MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` analogue) —
+        the reference's upsert-by-_id bulk indexing semantics
+        (mendeley/ElasticSearchIndexHandler.java:213-217): a re-crawled
+        row replaces the previous row with the same key, never
+        duplicates it. Current rows not matched by ``df``'s keys carry
+        over unchanged."""
+        spark = df.sparkSession
+        cur = self.read(spark)
+        merged = cur.join(
+            df.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(df)
+        if nfiles is not None:
+            merged = merged.coalesce(nfiles)
+        return self.overwrite(merged)
+
     def new_data_dir(self) -> str:
         """Reserve a fresh data directory for a caller-managed write
         (e.g. a partitioned write whose leaf dirs become manifest
