@@ -382,6 +382,9 @@ class CrawlEngine:
             "host",
             "priority",
         )
+        # cached: the seen-split consumes this subtree through several
+        # semi/anti branches — without the cache the explode+groupBy
+        # re-executes once per branch inside the frontier-update job
         outlinks = (
             expand_outlinks(
                 ok.select("url", "host", "depth"),
@@ -392,6 +395,7 @@ class CrawlEngine:
             .select(canonicalize("dst_url").alias("url"), "depth")
             .groupBy("url")
             .agg(F.min("depth").alias("depth"))
+            .cache()
         )
         new_rows = self._with_host_priority(
             self._unseen_outlinks(outlinks, seen_df)
@@ -551,7 +555,9 @@ class CrawlEngine:
         _tick("cuckoo maintenance")
 
         self._commit_round(round_id, counters, lineage)
-        for df in (pending, denied, selected) + ((due,) if due is not None else ()):
+        for df in (pending, denied, selected, outlinks) + (
+            (due,) if due is not None else ()
+        ):
             df.unpersist()
         # keep small-file counts bounded (Iceberg rewrite_data_files
         # analogue); the pending table self-compacts via its per-round

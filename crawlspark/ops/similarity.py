@@ -233,14 +233,122 @@ SELECT qid, rank, nid, cosine FROM (
 """
 
 
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path. Cells
+# are seeded from the corpus itself (the first _N_CELLS vectors act as
+# centroids — deterministic and engine-portable; at real scale the
+# centroids come from a k-means sample, same plan shape). Every vector
+# is assigned to its nearest cell (one broadcast join + arg-min);
+# queries probe the _N_PROBE nearest cells; exact scoring runs only
+# within probed cells. At 10^9 vectors the assignment is one
+# broadcast-join pass and the search touches n_probe/n_cells of the
+# corpus — the standard IVF-flat recall/cost dial.
+_N_CELLS = 16
+_N_PROBE = 4
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_assign(emb, centroids):
+    """(vec_id, cell) via arg-min over the broadcast centroid set; the
+    distance is rounded and tie-broken by cell id so the assignment is
+    identical across engines and partitionings."""
+    d = F.round(_sq_dist(F.col("embedding"), F.col("cv")), 6)
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cell", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cell")).alias("s"))
+        .select("vec_id", F.col("s.cell").alias("cell"))
+    )
+
+
+def ivf_ann_topk(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
+    )
+    assign = _cell_assign(emb, centroids)
+    # query probes: the _N_PROBE nearest cells per query vector
+    qd = F.round(_sq_dist(F.col("embedding"), F.col("cv")), 6)
+    probes = (
+        emb.filter(F.col("vec_id") < _N_QUERIES * 10)
+        .crossJoin(F.broadcast(centroids))
+        .select(F.col("vec_id").alias("qid"), "cell", qd.alias("d"))
+        .withColumn("pr", F.row_number().over(Window.partitionBy("qid").orderBy("d", "cell")))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("qid", "cell")
+    )
+    cand = probes.join(
+        assign.select(F.col("vec_id").alias("nid"), "cell"), "cell"
+    ).filter(F.col("qid") != F.col("nid")).select("qid", "nid").distinct()
+    ql = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nl = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
+    joined = cand.join(ql, "qid").join(nl, "nid")
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = joined.select("qid", "nid", F.round(cos, 4).alias("cosine"))
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "rank", "nid", "cosine")
+    )
+
+
+_SQDIST_DUCK = (
+    "round(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> (e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE) ** 2)), 6)"
+)
+
+IVF_ANN_SQL = f"""
+WITH c AS (
+  SELECT vec_id::INT AS cell, embedding AS cv FROM embeddings WHERE vec_id < {_N_CELLS}
+),
+assign AS (
+  SELECT vec_id AS nid, arg_min(cell, ({_SQDIST_DUCK}, cell)) AS cell
+  FROM embeddings e, c GROUP BY vec_id
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT e.vec_id AS qid, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_SQDIST_DUCK}, c.cell) AS pr
+    FROM embeddings e, c WHERE e.vec_id < {_N_QUERIES * 10}
+  ) WHERE pr <= {_N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT qid, nid FROM probes JOIN assign USING (cell) WHERE qid <> nid
+),
+scored AS (
+  SELECT qid, nid,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4) AS cosine
+  FROM cand JOIN embeddings a ON qid = a.vec_id JOIN embeddings b ON nid = b.vec_id
+)
+SELECT qid, rank, nid, cosine FROM (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
     "embedding_lsh_buckets": embedding_lsh_buckets,
     "lsh_ann_topk": lsh_ann_topk,
+    "ivf_ann_topk": ivf_ann_topk,
 }
 
 ORACLES = {
     "cosine_topk": COSINE_SQL,
     "embedding_lsh_buckets": LSH_SQL,
     "lsh_ann_topk": LSH_ANN_SQL,
+    "ivf_ann_topk": IVF_ANN_SQL,
 }

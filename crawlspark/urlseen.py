@@ -204,7 +204,9 @@ class CuckooSeen:
             .distinct()
         )
         over = c.join(F.broadcast(overflow_pgs), "pg", "left_semi").select(url_col)
-        maybe_urls = hits.unionByName(over).distinct()
+        # cached: consumed by BOTH the maybe-semi and the new-anti join;
+        # it is small (true hits + ~2*slots/2^16 false positives)
+        maybe_urls = hits.unionByName(over).distinct().cache()
         maybe = cand.join(maybe_urls, url_col, "left_semi")
         new = cand.join(maybe_urls, url_col, "left_anti")
         return new, maybe

@@ -27,7 +27,14 @@ AUDITED = [
     "tag_dispatch_accumulate",
     "doi_citation_enrich",
     "minhash_lsh_buckets",
+    "ngram_jaccard_pairs",
     "cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "taxonomy_enrich",
+    "nested_rename",
+    "batch_grouping",
+    "nested_author_filter",
 ]
 
 CHECKS = {
