@@ -310,8 +310,11 @@ WITH c AS (
   SELECT vec_id::INT AS cell, embedding AS cv FROM embeddings WHERE vec_id < {_N_CELLS}
 ),
 assign AS (
-  SELECT vec_id AS nid, arg_min(cell, ({_SQDIST_DUCK}, cell)) AS cell
-  FROM embeddings e, c GROUP BY vec_id
+  SELECT nid, cell FROM (
+    SELECT e.vec_id AS nid, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_SQDIST_DUCK}, c.cell) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
 ),
 probes AS (
   SELECT qid, cell FROM (
