@@ -24,6 +24,11 @@ import sys
 import tempfile
 import time
 
+# bench-wide realistic payload scale (see bench_crawl.py) — set before
+# ANY crawlspark import so forked probe workers and in-process query
+# timing all run the same codec scale as the crawl subprocesses
+os.environ.setdefault("CRAWLSPARK_IMG_SCALE", "2")
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
@@ -66,14 +71,14 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
 
 def _hw_work(args):
     lo, hi = args
-    from crawlspark.codec import synth_image
+    from crawlspark.codec import synth_image  # scale set at module top
 
     for i in range(lo, hi):
         synth_image(f"https://bench.example.com/img/{i}")
     return hi - lo
 
 
-def hw_envelope(lo_procs: int, hi_procs: int, n: int = 30000) -> dict:
+def hw_envelope(lo_procs: int, hi_procs: int, n: int = 16000) -> dict:
     """Hardware scaling ceiling for THIS box: the exact per-row fetch
     workload (synth_image: numpy pixels + zlib + DCT phash) run through
     plain multiprocessing — no Spark, no shuffles, no scheduler. Any

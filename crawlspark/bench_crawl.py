@@ -20,6 +20,13 @@ import shutil
 import sys
 import time
 
+# Realistic image payloads for the bench: IMG_SCALE=2 puts synthetic
+# images at ~12 KB (scale 1's ~3 KB is far below any real thumbnail),
+# which also makes the per-row fetch work dominate per-row fixed
+# serialization costs — the regime a real image crawl runs in. Must be
+# set BEFORE the JVM starts so executor Python workers inherit it.
+os.environ.setdefault("CRAWLSPARK_IMG_SCALE", "2")
+
 import pandas as pd
 
 from .engine import CrawlEngine
