@@ -209,11 +209,80 @@ FROM cand JOIN d a ON left_id = a.doc_id JOIN d b ON right_id = b.doc_id
 """
 
 
+# --- embedding-cosine near-dup: candidate pairs from the hyperplane
+# LSH tables (similarity.py), verified by exact cosine >= threshold,
+# then reduced to a keeper mapping (keeper = min id among a doc's
+# near-dup neighborhood ∪ itself — one agg, no iterative connected
+# components; at corpus scale the same map is applied per-bucket).
+_COS_THRESHOLD = 0.35
+
+
+def embedding_near_dup(spark, sf):
+    from .similarity import _bucket_entries, _dot, _norm
+
+    emb = load(spark, sf, "embeddings")
+    entries = _bucket_entries(emb)
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("l"), F.col("b.vec_id").alias("r"))
+        .distinct()
+    )
+    vl = emb.select(F.col("vec_id").alias("l"), F.col("embedding").alias("lv"))
+    vr = emb.select(F.col("vec_id").alias("r"), F.col("embedding").alias("rv"))
+    cos = _dot(F.col("lv"), F.col("rv")) / (_norm(F.col("lv")) * _norm(F.col("rv")))
+    pairs = (
+        cand.join(vl, "l")
+        .join(vr, "r")
+        .select("l", "r", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= _COS_THRESHOLD)
+    )
+    edges = pairs.select(F.col("l").alias("v"), F.col("r").alias("o")).unionByName(
+        pairs.select(F.col("r").alias("v"), F.col("l").alias("o"))
+    )
+    return (
+        edges.groupBy("v")
+        .agg(F.min("o").alias("mo"), F.count("*").alias("n_dups"))
+        .select(
+            F.col("v").alias("vec_id"),
+            F.least(F.col("mo"), F.col("v")).alias("keeper_id"),
+            "n_dups",
+        )
+    )
+
+
+def _near_dup_sql() -> str:
+    from .similarity import _BUCKETS_DUCK
+
+    return f"""
+WITH entries AS ({_BUCKETS_DUCK}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS l, b.vec_id AS r
+  FROM entries a JOIN entries b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT l, r,
+         round(
+           list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+              * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))), 4) AS cosine
+  FROM cand JOIN embeddings x ON l = x.vec_id JOIN embeddings y ON r = y.vec_id
+),
+pairs AS (SELECT l, r FROM scored WHERE cosine >= {_COS_THRESHOLD}),
+edges AS (SELECT l AS v, r AS o FROM pairs UNION ALL SELECT r AS v, l AS o FROM pairs)
+SELECT v AS vec_id, least(min(o), v) AS keeper_id, count(*) AS n_dups
+FROM edges GROUP BY v
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_buckets": minhash_lsh_buckets,
     "simhash": simhash,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_near_dup": embedding_near_dup,
 }
 
 ORACLES = {
@@ -221,4 +290,5 @@ ORACLES = {
     "minhash_lsh_buckets": MINHASH_SQL,
     "simhash": SIMHASH_SQL,
     "ngram_jaccard_pairs": JACCARD_SQL,
+    "embedding_near_dup": _near_dup_sql(),
 }

@@ -41,6 +41,12 @@ def token_stats(spark, sf):
             / F.size(w),
             4,
         ).alias("avg_token_len"),
+        # BPE-ish tokenization estimate: alpha runs split into <=4-char
+        # subword pieces, digits and punctuation one token each (the
+        # regex shape of byte-pair pretokenizers, deterministic here)
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)")
+        ).alias("n_bpe_tokens"),
     )
 
 
@@ -49,7 +55,8 @@ SELECT doc_id,
        len(str_split(text, ' ')) AS n_tokens,
        len(list_distinct(str_split(text, ' '))) AS n_distinct,
        round(list_sum(list_transform(str_split(text, ' '), t -> length(t)))::DOUBLE
-             / len(str_split(text, ' ')), 4) AS avg_token_len
+             / len(str_split(text, ' ')), 4) AS avg_token_len,
+       len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)) AS n_bpe_tokens
 FROM documents
 """
 
