@@ -175,8 +175,68 @@ FROM documents
 """
 
 
+# --- K6: registry side-effect sink, as data. The reference clears a
+# download's eraseAfter via one authenticated REST call per cited DOI,
+# idempotently skipping already-cleared rows (UpdateRegistryHandler.
+# java:86-138, skip at :124-126). Spark-first: compute the update SET
+# as a DataFrame (download-DOI docs semi-joined to the registry,
+# already-cleared rows excluded) and apply it with an idempotent
+# keyed MERGE — no per-row REST, no read-modify-write races. This
+# query returns the update set; test_registry_sink applies it via
+# SnapTable.merge twice and proves idempotence.
+def registry_erase_clear(spark, sf):
+    docs = load(spark, sf, "documents")
+    cited = (
+        docs.select(
+            F.concat(
+                F.lit("10.15468/"),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("dl.")).otherwise(F.lit("ds.")),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+            ).alias("doi")
+        )
+        .filter(F.col("doi").rlike(r"^10\.15468/dl\."))
+        .distinct()
+    )
+    # registry dim synthesized from orders: every even orderkey download
+    # has a pending erase_after; odd ones are already cleared (NULL)
+    orders = load(spark, sf, "orders")
+    registry = orders.filter(F.col("o_orderkey") < 2000).select(
+        F.concat(
+            F.lit("10.15468/dl."),
+            F.substring(F.md5((F.col("o_orderkey") % 500).cast("string")), 1, 6),
+        ).alias("doi"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("2030-01-01")).alias("erase_after"),
+    ).groupBy("doi").agg(F.max("erase_after").alias("erase_after"))
+    return (
+        registry.join(cited, "doi", "left_semi")
+        .filter(F.col("erase_after").isNotNull())  # idempotent skip
+        .select("doi", F.lit(None).cast("string").alias("erase_after"))
+    )
+
+
+REGISTRY_SQL = """
+WITH cited AS (
+  SELECT DISTINCT concat('10.15468/', CASE WHEN doc_id % 2 = 0 THEN 'dl.' ELSE 'ds.' END,
+                         substring(md5(doc_id::VARCHAR), 1, 6)) AS doi
+  FROM documents
+  WHERE doc_id % 2 = 0
+),
+registry AS (
+  SELECT doi, max(erase_after) AS erase_after FROM (
+    SELECT concat('10.15468/dl.', substring(md5((o_orderkey % 500)::VARCHAR), 1, 6)) AS doi,
+           CASE WHEN o_orderkey % 2 = 0 THEN '2030-01-01' END AS erase_after
+    FROM orders WHERE o_orderkey < 2000
+  ) GROUP BY doi
+)
+SELECT doi, NULL::VARCHAR AS erase_after
+FROM registry
+WHERE erase_after IS NOT NULL AND doi IN (SELECT doi FROM cited)
+"""
+
+
 QUERIES = {
     "vocab_term_extract": vocab_term_extract,
+    "registry_erase_clear": registry_erase_clear,
     "download_doi_filter": download_doi_filter,
     "two_hop_enrich": two_hop_enrich,
     "reverse_link_agg": reverse_link_agg,
@@ -185,6 +245,7 @@ QUERIES = {
 
 ORACLES = {
     "vocab_term_extract": VOCAB_SQL,
+    "registry_erase_clear": REGISTRY_SQL,
     "download_doi_filter": DOWNLOAD_DOI_SQL,
     "two_hop_enrich": TWO_HOP_SQL,
     "reverse_link_agg": REVERSE_LINK_SQL,

@@ -70,3 +70,34 @@ def test_snaptable_merge(spark, tmp_path):
     t.merge(spark.createDataFrame([("b", 2), ("d", 2)], "k string, v int"), ["k"])
     got2 = {(r.k, r.v) for r in t.read(spark).collect()}
     assert got2 == got
+
+
+def test_registry_sink_idempotent(spark, tmp_path):
+    """K6 applied: the registry update set merges idempotently —
+    re-applying the same updates changes nothing (the reference's
+    skip-if-already-cleared REST loop, as one keyed MERGE)."""
+    from crawlspark.ops.enrich import registry_erase_clear
+    from crawlspark.snaptable import SnapTable
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    reg = SnapTable(str(tmp_path / "registry"))
+    base = spark.createDataFrame(
+        [("10.15468/dl.aaaaaa", "2030-01-01"), ("10.15468/dl.bbbbbb", None)],
+        "doi string, erase_after string",
+    )
+    updates = registry_erase_clear(spark, sf)
+    reg.overwrite(base.unionByName(updates.select("doi", F.lit("2030-01-01").alias("erase_after"))))
+    before = reg.read(spark).count()
+
+    reg.merge(updates, ["doi"])
+    after1 = reg.read(spark).toPandas().sort_values("doi").reset_index(drop=True)
+    assert after1.doi.nunique() == before  # no duplicates, keys preserved
+    cleared = after1[after1.doi.isin(updates.toPandas().doi)]
+    assert cleared.erase_after.isna().all()  # all cited downloads cleared
+
+    reg.merge(updates, ["doi"])  # idempotent re-apply
+    after2 = reg.read(spark).toPandas().sort_values("doi").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(after1, after2)
