@@ -36,7 +36,13 @@ from .synth import SynthConfig, gen_seeds, host_name
 
 def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
     n_hosts = max(50, n_seeds // 300)
-    cfg = SynthConfig(n_seeds=n_seeds, n_hosts=n_hosts, max_depth=1)
+    # retry next round (backoff step 0): at crawl-round granularity a
+    # transient 5xx is retryable immediately; the default step-1 linear
+    # backoff spreads a ~2% retry tail over 2x the rounds, all fixed
+    # per-round latency (the golden/ordering tests exercise step 1)
+    cfg = SynthConfig(
+        n_seeds=n_seeds, n_hosts=n_hosts, max_depth=1, retry_backoff_step=0
+    )
     seeds = gen_seeds(cfg)
     # benchmark politeness: hot hosts get big budgets (still ranked /
     # salted — the full window machinery runs), cold hosts unbounded

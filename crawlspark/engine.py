@@ -377,7 +377,10 @@ class CrawlEngine:
             "url",
             (F.col("retry_count") + 1).cast("int").alias("retry_count"),
             # linear backoff in rounds (T2: retry# × httpTimeout)
-            (F.lit(round_id) + F.col("retry_count") + 1).cast("int").alias("not_before"),
+            (
+                F.lit(round_id + 1)
+                + F.lit(self.cfg.retry_backoff_step) * F.col("retry_count")
+            ).cast("int").alias("not_before"),
             "depth",
             "host",
             "priority",
@@ -518,7 +521,7 @@ class CrawlEngine:
             "expandable": int(stats["expandable"] or 0),
             "future_rounds": sorted(
                 {
-                    round_id + k + 1
+                    round_id + 1 + self.cfg.retry_backoff_step * k
                     for k in range(self.cfg.max_retries)
                     if int(stats[f"retry_rc{k}"] or 0) > 0
                 }

@@ -133,7 +133,8 @@ def simulate(
                     del frontier[u]
                 else:
                     # linear backoff in rounds (T2: retry# × delay)
-                    frontier[u] = (nrc, r + nrc, dep)
+                    nb = r + 1 + cfg.retry_backoff_step * (nrc - 1)
+                    frontier[u] = (nrc, nb, dep)
         r += 1
     order = pd.DataFrame(
         log_rows,

@@ -31,6 +31,11 @@ class SynthConfig:
     zipf_s: float = 1.1
     max_depth: int = 2
     max_retries: int = 3  # conf/ContentCrawlConfiguration.java:92 (3 retries)
+    # rounds of extra delay per prior attempt: not_before = r + 1 +
+    # step*rc (the reference's retryCount x httpTimeout linear backoff,
+    # conf/ContentCrawlConfiguration.java:92-93, with httpTimeout
+    # expressed in rounds; 0 = retry next round)
+    retry_backoff_step: int = 1
     url_space: int = 0  # id space for outlink targets; 0 → 4 * n_seeds
     seed: int = 42
 
