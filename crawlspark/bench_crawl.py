@@ -69,9 +69,12 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
     if os.path.isdir("/dev/shm"):
         os.makedirs("/dev/shm/crawlspark-scratch", exist_ok=True)
         extra["spark.local.dir"] = "/dev/shm/crawlspark-scratch"
+    # shuffle partitioning FIXED across levels (identical topology at N
+    # and 4N); 16 keeps big shuffles parallel while halving the number
+    # of tasks each of the many small per-round stages must launch
     spark = get_spark(
         master,
-        shuffle_partitions=32,
+        shuffle_partitions=int(os.environ.get("CRAWLSPARK_BENCH_SHUFFLE", "16")),
         app_name=f"bench-crawl-{master}",
         extra_conf=extra,
     )
