@@ -31,9 +31,14 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = SparkSession.builder
+    if master != "ambient":
+        # "ambient" = inherit the master chosen by spark-submit
+        # (--master local-cluster[...] / yarn / k8s); anything else is
+        # an explicit in-process master for tests and benches.
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
