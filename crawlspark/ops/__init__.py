@@ -11,3 +11,21 @@ from __future__ import annotations
 
 def load(spark, sf_dir: str, table: str):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_spread(spark, sf_dir: str, table: str):
+    """Load a table for compute-heavy per-row pipelines (shingling,
+    hashing, embedding math).
+
+    Small test files arrive as a single parquet row group → ONE scan
+    partition, which would run the whole explode/hash stage on one
+    core. When the scan has fewer partitions than the cluster has
+    slots, round-robin repartition so the compute stage uses them all.
+    At production scale the scan already has >> defaultParallelism
+    partitions and this is a no-op — no shuffle is added at 100 TB.
+    """
+    df = load(spark, sf_dir, table)
+    slots = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
+    return df

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import load
+from . import load_spread
 
 # word 3-gram shingles, shared Spark/DuckDB definitions
 _SHINGLES_SPARK = (
@@ -31,7 +31,7 @@ _SHINGLES_DUCK = (
 # --- exact dedup: keep-first by content hash
 # (upsert-by-id A5, ElasticSearchIndexHandler.java:213-217)
 def dedup_exact(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     return (
         docs.select(F.md5("text").alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -55,7 +55,7 @@ _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
 def _minhash_sig(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     sh = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
     ).distinct()
@@ -122,7 +122,7 @@ FROM bands GROUP BY band, bucket HAVING count(*) >= 1
 # Still one explode + one hash-agg pass — corpus-scale near-dup needs
 # the full 64 bits for a usable Hamming-distance threshold.
 def simhash(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).distinct()
     tok = tok.withColumn("h", F.md5("t")).withColumn(
         "h2", F.md5(F.concat(F.lit("s|"), F.col("t")))
@@ -168,7 +168,7 @@ FROM sums
 # 100 TB the candidate join is bounded by bucket sizes (b·r tuned so
 # buckets stay small), and the verify join touches only candidates.
 def ngram_jaccard_pairs(spark, sf):
-    docs = load(spark, sf, "documents").select(
+    docs = load_spread(spark, sf, "documents").select(
         "doc_id", F.array_distinct(F.expr(_SHINGLES_SPARK)).alias("sh")
     )
     allb = _band_buckets(_minhash_sig(spark, sf))
@@ -220,7 +220,7 @@ _COS_THRESHOLD = 0.35
 def embedding_near_dup(spark, sf):
     from .similarity import _bucket_entries, _dot, _norm
 
-    emb = load(spark, sf, "embeddings")
+    emb = load_spread(spark, sf, "embeddings")
     entries = _bucket_entries(emb)
     a, b = entries.alias("a"), entries.alias("b")
     cand = (

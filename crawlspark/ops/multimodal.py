@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import load
+from . import load_spread
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -47,7 +47,7 @@ CHECK_SCHEMA = T.StructType(
 
 
 def _doc_urls(spark, sf):
-    return load(spark, sf, "documents").select(
+    return load_spread(spark, sf, "documents").select(
         "doc_id",
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/img/"), F.col("doc_id")

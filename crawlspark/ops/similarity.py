@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import load
+from . import load_spread
 
 _N_QUERIES = 5
 _TOP_K = 3
@@ -35,7 +35,7 @@ def _norm(a):
 
 
 def cosine_topk(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = load_spread(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -101,34 +101,60 @@ def _plane_weights() -> list[list[float]]:
 
 
 _W = _plane_weights()
+_WMAT = None  # (DIM, PLANES) float64, built lazily on the executor
+
+
+def _weight_matrix():
+    global _WMAT
+    if _WMAT is None:
+        import numpy as np
+
+        _WMAT = np.array(_W, dtype=np.float64).T
+    return _WMAT
+
+
+def _table_buckets_fn(emb):
+    """Per-table LSH buckets as one Arrow-vectorized matmul-ish pass.
+
+    24 interpreted higher-order `aggregate(zip_with(...))` dots per row
+    are the slow path at any scale; here the whole Arrow batch does 64
+    vectorized multiply-adds. The accumulation runs dim-by-dim —
+    acc = acc + x_i * w_i, the SAME left-fold order as the expression
+    form and the DuckDB oracle's list_sum(list_transform(...)) — so
+    every sign bit (and therefore every bucket id) is bit-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    wm = _weight_matrix()
+    if emb.empty:
+        return pd.Series([], dtype=object)
+    m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
+    dots = np.zeros((len(m), wm.shape[1]))
+    for i in range(wm.shape[0]):
+        dots += m[:, i : i + 1] * wm[i]
+    bits = dots > 0
+    out = np.zeros((len(m), _TABLES), dtype=np.int32)
+    for t in range(_TABLES):
+        for j in range(_BITS):
+            out[:, t] |= bits[:, t * _BITS + j].astype(np.int32) << j
+    return pd.Series(list(out))
 
 
 def _bucket_entries(emb):
     """(vec_id, tbl, bucket) — one row per hash table, one pass."""
-    dots = [
-        _dot(F.col("embedding"), F.array(*[F.lit(w) for w in _W[p]]))
-        for p in range(_TABLES * _BITS)
-    ]
-    buckets = [
-        sum(
-            F.when(dots[t * _BITS + j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(_BITS)
-        ).cast("int")
-        for t in range(_TABLES)
-    ]
-    entries = F.array(
-        *[
-            F.struct(F.lit(t).cast("int").alias("tbl"), buckets[t].alias("bucket"))
-            for t in range(_TABLES)
-        ]
-    )
-    return emb.select("vec_id", F.explode(entries).alias("e")).select(
-        "vec_id", "e.tbl", "e.bucket"
+    # pandas_udf is created per-plan (NOT at module import): the
+    # executor's Python worker re-imports this module to unpickle the
+    # UDF, and a module-level @pandas_udf decorator would need an
+    # active SparkSession there.
+    udf = F.pandas_udf(_table_buckets_fn, "array<int>")
+    return emb.select(
+        "vec_id", F.posexplode(udf("embedding")).alias("tbl", "bucket")
     )
 
 
 def embedding_lsh_buckets(spark, sf):
-    return _bucket_entries(load(spark, sf, "embeddings"))
+    return _bucket_entries(load_spread(spark, sf, "embeddings"))
 
 
 def _duck_dot(p: int, col: str = "embedding") -> str:
@@ -170,7 +196,7 @@ _PROBE_MASKS = (
 
 
 def lsh_ann_topk(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = load_spread(spark, sf, "embeddings")
     entries = _bucket_entries(emb)
     probes = F.array(*[F.lit(m) for m in _PROBE_MASKS])
     q_probe = (
@@ -269,7 +295,7 @@ def _cell_assign(emb, centroids):
 
 
 def ivf_ann_topk(spark, sf):
-    emb = load(spark, sf, "embeddings")
+    emb = load_spread(spark, sf, "embeddings")
     centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
     )

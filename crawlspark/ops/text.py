@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import load
+from . import load_spread
 
 # tiny per-language stopword lists (n-gram heuristic stand-in)
 _STOPWORDS = {
@@ -30,7 +30,7 @@ def _arr_sql_duck(words):
 
 
 def token_stats(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     w = F.split("text", " ")
     return docs.select(
         "doc_id",
@@ -63,7 +63,7 @@ FROM documents
 
 # --- language ID by stopword-hit scoring with deterministic tiebreak
 def langid_stopwords(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     w = "array_distinct(split(text, ' '))"
     scores = {
         lang: f"size(array_intersect({w}, {_arr_sql_spark(sw + _QUERY_WORDS if lang == 'en' else sw)}))"
@@ -103,7 +103,7 @@ LANGID_SQL = _langid_duck()
 
 # --- quality scoring: length/stopword/diversity ratios
 def quality_score(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     w = "split(text, ' ')"
     stop = _arr_sql_spark(_STOPWORDS["en"] + _QUERY_WORDS)
     return docs.select(
@@ -140,7 +140,7 @@ FROM documents
 # --- mod-p fingerprinting (winnowing-style selection): keep the word
 # 2-gram hashes whose first md5 hex digit is 0-3 (~25%)
 def doc_fingerprint(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_spread(spark, sf, "documents")
     grams = (
         "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
