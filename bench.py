@@ -252,6 +252,25 @@ def run_scaling(n_seeds: int, cpus: int, reps: int) -> dict:
     return out
 
 
+def _cluster_pair_rows() -> list[str]:
+    path = os.path.join(_REPO, "BENCH", "HISTORY_CLUSTER.jsonl")
+    rows = []
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    p = json.loads(line)
+                except ValueError:
+                    continue
+                rows.append(
+                    f"| {p['n_seeds']} | {p['N_rows_per_sec']} | "
+                    f"{p['4N_rows_per_sec']} | {p['efficiency']} |"
+                )
+    except OSError:
+        return ["| (no cluster pairs recorded yet) | | | |"]
+    return rows or ["| (no cluster pairs recorded yet) | | | |"]
+
+
 def write_baseline_md(scaling: dict, timings: dict, sf_dir: str) -> None:
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     n, x = scaling["N"], scaling["4N"]
@@ -324,6 +343,18 @@ def write_baseline_md(scaling: dict, timings: dict, sf_dir: str) -> None:
         "real N vs 4N executor cluster (per-node memory buses, per-node",
         "disks) the hardware envelope is ~1.0 and the engine number is the",
         "one that transfers.",
+        "",
+        "## Separate-executor-JVM pairs (spark-submit --py-files)",
+        "",
+        "`tools/bench_cluster.py` submits the identical crawl via",
+        "`tools/submit.sh` at local-cluster[2,4,2048] vs",
+        "local-cluster[8,4,2048] (2 vs 8 real executor JVMs) — the",
+        "north rule's literal deployment shape. Recorded pairs",
+        "(BENCH/HISTORY_CLUSTER.jsonl):",
+        "",
+        "| n_seeds | N rows/s | 4N rows/s | efficiency |",
+        "|---|---|---|---|",
+    ] + _cluster_pair_rows() + [
         "",
         "## All scaling runs (chronological)",
         "",
