@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # concurrent round jobs (fan-out appends) queue tiny broadcast
+        # builds behind long fetch stages; the 300s default times the
+        # broadcast out on a saturated cluster — not a plan problem,
+        # just queueing, so wait instead of failing the round
+        .config("spark.sql.broadcastTimeout", "1800")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # binary image rows are large; cap Arrow batch size so a batch of
         # (bytes,w,h) rows stays well under executor memory at 100TB scale
