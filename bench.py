@@ -132,31 +132,33 @@ def hw_envelope(lo_procs: int, hi_procs: int, n: int = 16000) -> dict:
 
 
 def _one_crawl(master: str, tag: str, n_seeds: int, tmp_root: str | None) -> dict:
-    tmp = tempfile.mkdtemp(prefix=f"bench_crawl_{tag}_", dir=tmp_root)
-    res_file = os.path.join(tmp, "result.json")
-    subprocess.run(
-        [
-            sys.executable,
-            "-m",
-            "crawlspark.bench_crawl",
-            master,
-            os.path.join(tmp, "wd"),
-            str(n_seeds),
-            res_file,
-        ],
-        check=True,
-        cwd=_REPO,
-        timeout=3600,
-        # the child prints its own JSON line; keep it off OUR stdout —
-        # the driver contract is exactly ONE JSON line from bench.py
-        stdout=subprocess.DEVNULL,
-    )
-    with open(res_file) as f:
-        r = json.load(f)
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)  # tmpfs = RAM; free it
-    return r
+    tmp = tempfile.mkdtemp(prefix=f"bench_crawl_{tag}_", dir=tmp_root)
+    res_file = os.path.join(tmp, "result.json")
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "crawlspark.bench_crawl",
+                master,
+                os.path.join(tmp, "wd"),
+                str(n_seeds),
+                res_file,
+            ],
+            check=True,
+            cwd=_REPO,
+            timeout=3600,
+            # the child prints its own JSON line; keep it off OUR stdout
+            # — the driver contract is exactly ONE JSON line from bench.py
+            stdout=subprocess.DEVNULL,
+        )
+        with open(res_file) as f:
+            return json.load(f)
+    finally:
+        # tmpfs = RAM; free it even when the run stalls/fails
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_scaling(n_seeds: int, cpus: int, reps: int) -> dict:
