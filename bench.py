@@ -438,7 +438,10 @@ def main() -> None:
         # engine, not scheduler latency; 50k-seed pairs cap out ~0.4
         # even in clean windows while 150k pairs reach the hw envelope
         n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
-        reps = int(os.environ.get("CRAWLSPARK_BENCH_REPS", "4"))
+        # 3 pairs x ~2-8 min/run keeps the whole bench under ~45 min
+        # even in throttled windows while still sampling 3 weather
+        # windows; raise via env for longer hunting sessions
+        reps = int(os.environ.get("CRAWLSPARK_BENCH_REPS", "3"))
         scaling = run_scaling(n_seeds, int(cpus), reps)
         result["value"] = scaling["4N"]["wall_sec"]
         result["queries"]["crawl_local_N"] = scaling["N"]["wall_sec"]
