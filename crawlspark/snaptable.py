@@ -40,8 +40,10 @@ class SnapTable:
         self.data_dir = os.path.join(path, "data")
         # commits are a read-modify-write of HEAD + the max snapshot id;
         # the engine's concurrent round jobs write to DISTINCT tables,
-        # but guard same-table races anyway (ADVICE: lost-commit risk)
-        self._lock = threading.Lock()
+        # but guard same-table races anyway (ADVICE: lost-commit risk).
+        # RLock: merge holds it across its read-manifest → write → commit
+        # sequence, and commit re-acquires.
+        self._lock = threading.RLock()
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -140,15 +142,24 @@ class SnapTable:
         (mendeley/ElasticSearchIndexHandler.java:213-217): a re-crawled
         row replaces the previous row with the same key, never
         duplicates it. Current rows not matched by ``df``'s keys carry
-        over unchanged."""
+        over unchanged.
+
+        COST NOTE: this base implementation rewrites the ENTIRE table
+        per call — acceptable as a local Iceberg-MERGE stand-in at test
+        scale, a scale-killer on a 10^10-row table. The engine's hot
+        recrawl path uses the bucketed variant (BucketedTable.merge),
+        which rewrites only the hash buckets containing merge keys.
+        The lock is held across read-manifest → write → commit so a
+        concurrent append cannot be silently dropped by the overwrite."""
         spark = df.sparkSession
-        cur = self.read(spark)
-        merged = cur.join(
-            df.select(*keys).distinct(), keys, "left_anti"
-        ).unionByName(df)
-        if nfiles is not None:
-            merged = merged.coalesce(nfiles)
-        return self.overwrite(merged)
+        with self._lock:
+            cur = self.read(spark)
+            merged = cur.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(df)
+            if nfiles is not None:
+                merged = merged.coalesce(nfiles)
+            return self.overwrite(merged)
 
     def new_data_dir(self) -> str:
         """Reserve a fresh data directory for a caller-managed write
@@ -171,6 +182,62 @@ class SnapTable:
     def commit_empty(self, schema: T.StructType, meta: dict | None = None) -> int:
         """Create the table at snapshot 1 with zero rows (schema pinned)."""
         return self._commit([], schema.json(), meta, "create")
+
+    def expire(self, keep_snapshots: list[int] | None = None) -> int:
+        """Iceberg ``expire_snapshots`` analogue (r2 VERDICT "Next
+        round" #2): delete every manifest and data directory not
+        reachable from the kept snapshots (always including HEAD).
+
+        Without this the table retains one full data copy per
+        overwrite/merge forever — the engine overwrites the frontier
+        EVERY round, so a crawl's workdir (tmpfs = RAM in the bench)
+        grows O(rounds × table size) instead of O(live data).
+
+        Manifests may reference a data dir directly (``d-xxx``) or a
+        partition leaf under it (``d-xxx/bucket_part=3``); expiry keeps
+        referenced leaves and removes unreferenced siblings, then the
+        parent when nothing kept remains. Returns the number of data
+        dirs removed. Note: after a rollback, expiring the abandoned
+        higher snapshot ids lets their numeric ids be reused — harmless,
+        their dirs and manifests are gone together."""
+        import shutil
+
+        with self._lock:
+            head = self.current_snapshot_id()
+            if head is None:
+                return 0
+            keep = set(keep_snapshots or ()) | {head}
+            kept_dirs: set[str] = set()
+            for sid in keep:
+                try:
+                    kept_dirs.update(self._read_manifest(sid)["dirs"])
+                except FileNotFoundError:
+                    continue
+            for f in os.listdir(self.meta_dir):
+                if f.startswith("snap-") and f.endswith(".json"):
+                    if int(f[5:-5]) not in keep:
+                        os.remove(os.path.join(self.meta_dir, f))
+            removed = 0
+            for d in os.listdir(self.data_dir):
+                parent = os.path.join(self.data_dir, d)
+                if parent in kept_dirs or not os.path.isdir(parent):
+                    continue
+                # partitioned parent: subdirectories may be individually
+                # referenced leaves (cuckoo pg dirs, frontier buckets)
+                kept_leaf = False
+                for sub in os.listdir(parent):
+                    leaf = os.path.join(parent, sub)
+                    if not os.path.isdir(leaf):
+                        continue
+                    if leaf in kept_dirs:
+                        kept_leaf = True
+                    else:
+                        shutil.rmtree(leaf, ignore_errors=True)
+                        removed += 1
+                if not kept_leaf:
+                    shutil.rmtree(parent, ignore_errors=True)
+                    removed += 1
+            return removed
 
     def rollback(self, snapshot_id: int) -> None:
         """Point HEAD back at an older snapshot (atomic)."""

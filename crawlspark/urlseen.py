@@ -78,6 +78,10 @@ class CuckooSeen:
         self.table = SnapTable(path, "cuckoo_seen")
         self.n_pg = n_pg
         self.k = buckets_per_pg
+        # read-path caches handed out by split_candidates, released by
+        # the engine once the round's frontier-update job has consumed
+        # them (r2 ADVICE #3: one leaked cached DF per round otherwise)
+        self._caches: list = []
         if not self.table.exists():
             self.table.commit_empty(FILTER_SCHEMA)
 
@@ -96,17 +100,29 @@ class CuckooSeen:
         new_rows = cand.select("pg", "fp", "b1", "b2")
         m = self.table.current_manifest()
         old_pg_dirs: dict[str, str] = dict((m.get("meta") or {}).get("pg_dirs", {}))
-        dirty = sorted(
-            int(r["pg"]) for r in new_rows.select("pg").distinct().collect()
-        )
-        if not dirty:
-            return self.table.current_snapshot_id()
-        dirty_dirs = [old_pg_dirs[str(p)] for p in dirty if str(p) in old_pg_dirs]
-        state = (
-            spark.read.schema(FILTER_SCHEMA).parquet(*dirty_dirs)
-            if dirty_dirs
-            else spark.createDataFrame([], FILTER_SCHEMA)
-        )
+        cur_dirs = set(m["dirs"]) if m else set()
+        if not cur_dirs <= set(old_pg_dirs.values()):
+            # MIGRATION (r2 ADVICE #2): the current snapshot holds data
+            # dirs the pg_dirs meta does not track (a pre-pg-layout
+            # write, or an external overwrite/compact of this table).
+            # Silently committing only tracked dirs would DROP those
+            # fingerprints and break the no-false-negatives contract —
+            # instead fold the FULL current table into this rebuild and
+            # re-derive every pg dir from scratch (one-time cost).
+            state = self.table.read(spark)
+            old_pg_dirs = {}
+        else:
+            dirty = sorted(
+                int(r["pg"]) for r in new_rows.select("pg").distinct().collect()
+            )
+            if not dirty:
+                return self.table.current_snapshot_id()
+            dirty_dirs = [old_pg_dirs[str(p)] for p in dirty if str(p) in old_pg_dirs]
+            state = (
+                spark.read.schema(FILTER_SCHEMA).parquet(*dirty_dirs)
+                if dirty_dirs
+                else spark.createDataFrame([], FILTER_SCHEMA)
+            )
         # pack existing state rows alongside inserts; b1 = bucket marks state
         state_packed = state.select(
             "pg", "fp", F.col("bucket").alias("b1"), F.lit(None).cast("bigint").alias("b2")
@@ -205,11 +221,22 @@ class CuckooSeen:
         )
         over = c.join(F.broadcast(overflow_pgs), "pg", "left_semi").select(url_col)
         # cached: consumed by BOTH the maybe-semi and the new-anti join;
-        # it is small (true hits + ~2*slots/2^16 false positives)
+        # it is small (true hits + ~2*slots/2^16 false positives).
+        # Tracked in self._caches — the caller releases it via
+        # release_caches() after the consuming job completes.
         maybe_urls = hits.unionByName(over).distinct().cache()
+        self._caches.append(maybe_urls)
         maybe = cand.join(maybe_urls, url_col, "left_semi")
         new = cand.join(maybe_urls, url_col, "left_anti")
         return new, maybe
+
+    def release_caches(self) -> None:
+        """Unpersist the cached candidate-split DataFrames handed out by
+        split_candidates. The engine calls this once per round after the
+        frontier-update job has consumed them."""
+        for df in self._caches:
+            df.unpersist()
+        self._caches.clear()
 
     def rollback(self, snapshot_id: int) -> None:
         self.table.rollback(snapshot_id)

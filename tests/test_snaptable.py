@@ -1,4 +1,6 @@
-"""Atomic snapshot table semantics: append/overwrite/rollback/compact."""
+"""Atomic snapshot table semantics: append/overwrite/rollback/compact/expire."""
+
+import os
 
 from pyspark.sql import types as T
 
@@ -36,3 +38,29 @@ def test_compact_preserves_rows_and_old_snapshots(spark, tmp_path):
     # rollback across a compaction still works (old dirs retained)
     t.rollback(pre)
     assert t.read(spark).count() == 60
+
+
+def test_expire_reclaims_old_snapshots(spark, tmp_path):
+    """expire() removes data dirs and manifests not reachable from HEAD
+    (Iceberg expire_snapshots analogue); current reads are unaffected
+    and disk stays O(live data) across repeated overwrites."""
+    t = SnapTable(str(tmp_path / "e"))
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    t.commit_empty(schema)
+    for i in range(5):
+        t.overwrite(spark.range(i, i + 3).selectExpr("id as x"))
+    assert len(os.listdir(t.data_dir)) == 5  # one copy per overwrite
+    removed = t.expire()
+    assert removed == 4
+    assert len(os.listdir(t.data_dir)) == 1
+    assert sorted(r["x"] for r in t.read(spark).collect()) == [4, 5, 6]
+    # append lineage: expire keeps every dir HEAD references
+    t.append(spark.range(10, 12).selectExpr("id as x"))
+    assert t.expire() == 0
+    assert t.read(spark).count() == 5
+    # keep_snapshots preserves an older rollback target
+    keep = t.current_snapshot_id()
+    t.overwrite(spark.range(1).selectExpr("id as x"))
+    t.expire(keep_snapshots=[keep])
+    t.rollback(keep)
+    assert t.read(spark).count() == 5
