@@ -60,6 +60,11 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
         "spark.sql.adaptive.enabled": "false",
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         "spark.locality.wait": "0",
+        # the r2 driver bench died with anonymous 'Python worker exited
+        # unexpectedly (crashed)' errors — make any future worker crash
+        # name itself in the executor log
+        "spark.python.worker.faulthandler.enabled": "true",
+        "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
     }
     # this sandbox shares ONE cloud disk whose IOPS throttle under
     # sustained load (and punish the higher-concurrency level more);
