@@ -114,6 +114,13 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
         "n_seeds": n_seeds,
         "rounds": len(results),
         "wall_sec": round(wall, 2),
+        # dirty-bucket evidence: frontier rows actually rewritten vs the
+        # ripe pending rows each round (what a full overwrite would have
+        # rewritten at minimum, every round)
+        "frontier_rows_written_total": sum(
+            r.get("frontier_rows_written", 0) for r in results
+        ),
+        "frontier_ripe_pending_total": sum(r.get("pending", 0) for r in results),
         "frontier_urls_processed": selected,
         "rows_fetched": fetched,
         "frontier_urls_per_sec": round(selected / wall, 1),

@@ -272,3 +272,123 @@ class SnapTable:
         # explicit schema → no inference pass; Catalyst still prunes
         # columns and pushes filters into each parquet scan
         return spark.read.schema(schema).parquet(*m["dirs"])
+
+
+class BucketedTable(SnapTable):
+    """SnapTable hash-bucketed by a caller-supplied key expression —
+    the Iceberg ``bucket(N, key)`` partition-transform analogue, stored
+    as one leaf directory per bucket and tracked in manifest meta
+    (``bucket_dirs``), exactly like the cuckoo filter's pg dirs
+    (urlseen.py commit_dirs pattern).
+
+    The point (r2 VERDICT "Next round" #4/#5): per-round maintenance of
+    a 10^10-row table must write O(round delta), not O(table). Writers
+    compute the round's dirty buckets, read ONLY those buckets' leaf
+    dirs, and commit new leaves for them while untouched buckets carry
+    their existing leaf dirs forward — a storage-partitioned partial
+    overwrite with no full-table rewrite anywhere.
+
+    The bucket id never lives in the data files (schemas stay exactly
+    what callers write); it is encoded by the directory a row lives in.
+    Full-table ``read`` is the plain union of all leaf dirs."""
+
+    def __init__(self, path: str, n_buckets: int, name: str | None = None) -> None:
+        super().__init__(path, name)
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        self.n_buckets = n_buckets
+
+    def bucket_dirs(self) -> dict[str, str]:
+        m = self.current_manifest()
+        return dict((m.get("meta") or {}).get("bucket_dirs", {})) if m else {}
+
+    def read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame:
+        """Scan ONLY the given buckets' leaf dirs (partition pruning by
+        construction — untouched buckets are never opened)."""
+        bd = self.bucket_dirs()
+        dirs = [bd[str(b)] for b in buckets if str(b) in bd]
+        schema = self.schema()
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def replace_buckets(
+        self,
+        df: DataFrame,
+        dirty: list[int],
+        bucket_col,
+        meta: dict | None = None,
+    ) -> int:
+        """Commit ``df`` as the NEW full content of the ``dirty``
+        buckets; every other bucket carries its current leaf dir
+        forward. ``bucket_col`` is a Column evaluating to the row's
+        bucket id (pmod(hash(key), n_buckets)); it is used only to
+        route rows to leaf dirs and is not stored. A dirty bucket with
+        no rows in ``df`` is dropped from the table."""
+        dirty_set = {int(b) for b in dirty}
+        with self._lock:
+            m = self.current_manifest()
+            old_map = self.bucket_dirs()
+            cur_dirs = set(m["dirs"]) if m else set()
+            if not cur_dirs <= set(old_map.values()) and dirty_set != set(
+                range(self.n_buckets)
+            ):
+                # a partial replace over untracked data would silently
+                # drop it (same failure mode as the cuckoo pre-pg
+                # layout); only an all-buckets replace may rebuild over
+                # arbitrary prior commits
+                raise ValueError(
+                    f"table {self.name} has data dirs untracked by "
+                    "bucket_dirs; use an all-buckets replace to migrate"
+                )
+            out_schema = df.schema
+            d = self.new_data_dir()
+            df.withColumn("bucket_part", bucket_col).write.partitionBy(
+                "bucket_part"
+            ).mode("overwrite").parquet(d)
+            new_map = {
+                b: p for b, p in old_map.items() if int(b) not in dirty_set
+            }
+            for sub in os.listdir(d):
+                if sub.startswith("bucket_part="):
+                    new_map[sub.split("=", 1)[1]] = os.path.join(d, sub)
+            dirs = sorted(set(new_map.values()))
+            return self._commit_locked(
+                dirs,
+                out_schema.json(),
+                {**(meta or {}), "bucket_dirs": new_map},
+                "overwrite",
+            )
+
+    def merge(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        bucket_col=None,
+        nfiles: int | None = None,
+    ) -> int:
+        """Keyed last-write-wins upsert touching ONLY the buckets that
+        contain merge keys: dirty = distinct buckets of ``df``, current
+        rows are read from those buckets' leaf dirs alone, and the
+        partial overwrite commits new leaves for them. Write volume is
+        O(|df| + |dirty buckets|), not O(table) — the scale-correct
+        Iceberg MERGE for the seen table's per-round recrawl refresh."""
+        if bucket_col is None:
+            raise ValueError("BucketedTable.merge requires bucket_col")
+        spark = df.sparkSession
+        with self._lock:
+            df = df.cache()
+            dirty = sorted(
+                int(r["b"])
+                for r in df.select(bucket_col.alias("b")).distinct().collect()
+            )
+            if not dirty:
+                df.unpersist()
+                return self.current_snapshot_id()
+            cur = self.read_buckets(spark, dirty)
+            merged = cur.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            ).unionByName(df)
+            sid = self.replace_buckets(merged, dirty, bucket_col)
+            df.unpersist()
+            return sid
