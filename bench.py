@@ -75,6 +75,19 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
+    # spark.stop() leaves the py4j gateway JVM alive (a multi-GB child
+    # idling through the whole scaling phase — observed at 17% CPU /
+    # 5% RSS in round 3); shut it down so the crawl pairs measure a
+    # quiet box
+    try:
+        from pyspark import SparkContext
+
+        if SparkContext._gateway is not None:
+            SparkContext._gateway.shutdown()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
     # per-query best-ever history: like the crawl pairs, a single bench
     # can land in a throttled host window (identical binaries measure
     # 2-3x apart hours apart on this VM); keep the best recorded time
@@ -188,8 +201,15 @@ def _one_crawl(
         with open(res_file) as f:
             return json.load(f)
     finally:
-        # tmpfs = RAM; free it even when the run stalls/fails
-        shutil.rmtree(tmp, ignore_errors=True)
+        # tmpfs = RAM; free it even when the run stalls/fails. On a
+        # timeout kill the child's Spark JVM can outlive it briefly and
+        # recreate files AFTER the rmtree (observed in round 3: 15-21 GB
+        # orphan dirs), so retry until the dir stays gone.
+        for _ in range(5):
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(tmp):
+                break
+            time.sleep(2.0)
 
 
 def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
@@ -209,6 +229,21 @@ def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
     best-ever history numbers."""
     lo = max(2, cpus // 4)
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+    def _sweep_scratch() -> None:
+        # runs are strictly serialized, so between runs ANY surviving
+        # bench_crawl_* dir (this invocation's timeout leftovers or a
+        # previous bench's) is garbage occupying tmpfs RAM — reclaim it
+        # so later runs don't measure a memory-pressured box
+        if tmp_root is None:
+            return
+        import glob
+        import shutil
+
+        for d in glob.glob(os.path.join(tmp_root, "bench_crawl_*")):
+            shutil.rmtree(d, ignore_errors=True)
+
+    _sweep_scratch()
     runs: list[dict] = []
     order: list[tuple[str, str]] = []
     for i in range(reps):
@@ -217,6 +252,7 @@ def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
     _RESERVE = 150.0  # hw probe + BASELINE.md writeup + JSON emit
     expected = 300.0  # initial guess; replaced by observed worst run
     for tag, master in order:
+        _sweep_scratch()
         remaining = deadline - time.time() - _RESERVE
         if remaining < expected * 1.1:
             break  # budget spent: report what completed

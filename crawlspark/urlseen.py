@@ -36,6 +36,8 @@ FP_MOD = 65535  # 16-bit fingerprints, 0 reserved for "empty"
 SLOTS = 4
 MAX_KICKS = 500
 OVERFLOW_BUCKET = -1
+# delta files per pg before the next insert compacts it (full rebuild)
+MAX_DELTAS = 4
 
 FILTER_SCHEMA = T.StructType(
     [
@@ -90,56 +92,91 @@ class CuckooSeen:
         """Merge new URLs into the filter state. One shuffle (groupBy pg);
         the cuckoo walk runs vectorized per partition group.
 
-        INCREMENTAL: only partition groups receiving inserts are rebuilt
-        and rewritten; untouched pgs keep their existing data files in
-        the new snapshot (the Iceberg partition-overwrite analogue) — at
-        10^10 URLs the filter is tens of GB, so full rewrites per insert
-        batch would dominate maintenance cost."""
+        INCREMENTAL at two levels (the Iceberg partition-overwrite +
+        delta-file analogue — at 10^10 URLs the filter is tens of GB, so
+        full rewrites per insert batch would dominate maintenance cost):
+
+        * only partition groups receiving inserts are touched at all;
+          untouched pgs keep their existing data files in the new
+          snapshot;
+        * a dirty pg whose inserts all place WITHOUT eviction writes
+          only a DELTA file holding the newly placed fingerprints (write
+          volume ∝ insert batch, not pg size). A pg is fully rebuilt —
+          compacting its base + deltas into one file — only when an
+          insert triggers an eviction walk / saturates, or when the pg
+          has accumulated MAX_DELTAS delta files.
+
+        The read path is unaffected: the manifest's dirs are base +
+        delta files, and membership probes union them, so the
+        no-false-negatives contract holds across both layouts."""
         spark = urls.sparkSession
         cand = _with_fp_buckets(urls.select(url_col), url_col, self.n_pg, self.k)
         new_rows = cand.select("pg", "fp", "b1", "b2")
         m = self.table.current_manifest()
-        old_pg_dirs: dict[str, str] = dict((m.get("meta") or {}).get("pg_dirs", {}))
+        meta = (m.get("meta") or {}) if m else {}
+        old_pg_dirs: dict[str, str] = dict(meta.get("pg_dirs", {}))
+        old_deltas: dict[str, list[str]] = {
+            p: list(ds) for p, ds in meta.get("pg_deltas", {}).items()
+        }
+        tracked = set(old_pg_dirs.values()) | {
+            d for ds in old_deltas.values() for d in ds
+        }
         cur_dirs = set(m["dirs"]) if m else set()
-        if not cur_dirs <= set(old_pg_dirs.values()):
+        if not cur_dirs <= tracked:
             # MIGRATION (r2 ADVICE #2): the current snapshot holds data
-            # dirs the pg_dirs meta does not track (a pre-pg-layout
-            # write, or an external overwrite/compact of this table).
-            # Silently committing only tracked dirs would DROP those
-            # fingerprints and break the no-false-negatives contract —
-            # instead fold the FULL current table into this rebuild and
-            # re-derive every pg dir from scratch (one-time cost).
+            # dirs the pg_dirs/pg_deltas meta does not track (a
+            # pre-pg-layout write, or an external overwrite/compact of
+            # this table). Silently committing only tracked dirs would
+            # DROP those fingerprints and break the no-false-negatives
+            # contract — instead fold the FULL current table into this
+            # rebuild and re-derive every pg dir from scratch.
             state = self.table.read(spark)
-            old_pg_dirs = {}
+            old_pg_dirs, old_deltas = {}, {}
+            force_pgs: set[int] | None = None  # None = force ALL pgs full
         else:
             dirty = sorted(
                 int(r["pg"]) for r in new_rows.select("pg").distinct().collect()
             )
             if not dirty:
                 return self.table.current_snapshot_id()
-            dirty_dirs = [old_pg_dirs[str(p)] for p in dirty if str(p) in old_pg_dirs]
+            dirty_dirs = []
+            for p in dirty:
+                sp = str(p)
+                if sp in old_pg_dirs:
+                    dirty_dirs.append(old_pg_dirs[sp])
+                dirty_dirs.extend(old_deltas.get(sp, ()))
             state = (
                 spark.read.schema(FILTER_SCHEMA).parquet(*dirty_dirs)
                 if dirty_dirs
                 else spark.createDataFrame([], FILTER_SCHEMA)
             )
+            # compaction trigger: pgs already carrying MAX_DELTAS files
+            force_pgs = {
+                int(p) for p, ds in old_deltas.items() if len(ds) >= MAX_DELTAS
+            }
         # pack existing state rows alongside inserts; b1 = bucket marks state
         state_packed = state.select(
             "pg", "fp", F.col("bucket").alias("b1"), F.lit(None).cast("bigint").alias("b2")
         )
         both = state_packed.unionByName(new_rows.select("pg", "fp", "b1", "b2"))
         k = self.k
-        n_pg = self.n_pg
+        out_schema = T.StructType(
+            FILTER_SCHEMA.fields + [T.StructField("mode", T.StringType(), False)]
+        )
 
         def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
             pg = int(pdf["pg"].iloc[0])
+            force = force_pgs is None or pg in force_pgs
             buckets: dict[int, list[int]] = {}
-            overflow = False
+            base_overflow = False
+            new_overflow = False
+            evicted = False
+            placements: list[tuple[int, int]] = []  # (bucket, fp) added
             existing = pdf[pdf["b2"].isna()]
             inserts = pdf[pdf["b2"].notna()]
             for b, fp in zip(existing["b1"].astype("int64"), existing["fp"]):
                 if b == OVERFLOW_BUCKET:
-                    overflow = True
+                    base_overflow = True
                     continue
                 buckets.setdefault(int(b), []).append(int(fp))
             # deterministic insert order regardless of shuffle layout
@@ -153,11 +190,15 @@ class CuckooSeen:
                     slot = buckets.setdefault(b, [])
                     if len(slot) < SLOTS:
                         slot.append(fp)
+                        placements.append((b, fp))
                         placed = True
                         break
                 if placed:
                     continue
-                # cuckoo eviction walk (deterministic victim choice)
+                # cuckoo eviction walk (deterministic victim choice) —
+                # moves EXISTING fingerprints, so the pg can no longer
+                # be expressed as base + additions: full rebuild below
+                evicted = True
                 cur_b, cur_fp = b1, fp
                 for kick in range(MAX_KICKS):
                     slot = buckets[cur_b]
@@ -172,33 +213,59 @@ class CuckooSeen:
                         aslot.append(cur_fp)
                         break
                 else:
-                    overflow = True  # filter saturated for this pg
-            out = [
-                {"pg": pg, "bucket": b, "fp": fp}
-                for b, fps in buckets.items()
-                for fp in fps
-            ]
-            if overflow:
-                out.append({"pg": pg, "bucket": OVERFLOW_BUCKET, "fp": 0})
-            return pd.DataFrame(out, columns=["pg", "bucket", "fp"])
+                    new_overflow = True  # filter saturated for this pg
+            if force or evicted or new_overflow:
+                out = [
+                    {"pg": pg, "bucket": b, "fp": fp, "mode": "full"}
+                    for b, fps in buckets.items()
+                    for fp in fps
+                ]
+                if base_overflow or new_overflow:
+                    out.append(
+                        {"pg": pg, "bucket": OVERFLOW_BUCKET, "fp": 0, "mode": "full"}
+                    )
+            else:
+                # delta: ONLY the newly placed fps; base files untouched.
+                # Placement is identical to the full path (greedy b1/b2,
+                # no eviction happened), so state rows are byte-identical
+                # to what a full rebuild would produce.
+                out = [
+                    {"pg": pg, "bucket": b, "fp": fp, "mode": "delta"}
+                    for b, fp in placements
+                ]
+            return pd.DataFrame(out, columns=["pg", "bucket", "fp", "mode"])
 
-        new_state = both.groupBy("pg").applyInPandas(rebuild, FILTER_SCHEMA)
-        # write the rebuilt dirty pgs partitioned by pg (pg kept as a
+        new_state = both.groupBy("pg").applyInPandas(rebuild, out_schema)
+        # write partitioned by "<pg>-<mode>" (single partition level so
+        # snapshot expiry's parent/leaf walk keeps working; pg stays a
         # data column too, so leaf dirs read back standalone), then
-        # commit a manifest mapping every pg to its current data dir
+        # commit a manifest mapping every pg to its base dir + deltas
         d = self.table.new_data_dir()
-        new_state.withColumn("pg_part", F.col("pg")).write.partitionBy(
-            "pg_part"
-        ).mode("overwrite").parquet(d)
+        new_state.withColumn(
+            "pg_part", F.concat_ws("-", F.col("pg"), F.col("mode"))
+        ).drop("mode").write.partitionBy("pg_part").mode("overwrite").parquet(d)
         pg_dirs = dict(old_pg_dirs)
+        pg_deltas = {p: list(ds) for p, ds in old_deltas.items()}
         import os as _os
 
-        for sub in _os.listdir(d):
-            if sub.startswith("pg_part="):
-                pg_dirs[sub.split("=", 1)[1]] = _os.path.join(d, sub)
-        dirs = sorted(set(pg_dirs.values()))
+        for sub in sorted(_os.listdir(d)):
+            if not sub.startswith("pg_part="):
+                continue
+            pg_s, mode = sub.split("=", 1)[1].rsplit("-", 1)
+            leaf = _os.path.join(d, sub)
+            if mode == "full":
+                pg_dirs[pg_s] = leaf
+                pg_deltas.pop(pg_s, None)
+            else:
+                pg_deltas.setdefault(pg_s, []).append(leaf)
+        dirs = sorted(
+            set(pg_dirs.values()) | {x for ds in pg_deltas.values() for x in ds}
+        )
         return self.table.commit_dirs(
-            dirs, FILTER_SCHEMA, {"pg_dirs": pg_dirs}, "overwrite"
+            dirs,
+            FILTER_SCHEMA,
+            {"pg_dirs": pg_dirs, "pg_deltas": pg_deltas},
+            "overwrite",
         )
 
     # ------------------------------------------------------------- read
