@@ -227,7 +227,7 @@ _COS_THRESHOLD = 0.35
 
 
 def embedding_near_dup(spark, sf):
-    from .similarity import _bucket_entries, _dot, _norm
+    from .similarity import _bucket_entries, _cosine_fn
 
     emb = load_spread(spark, sf, "embeddings")
     entries = _bucket_entries(emb)
@@ -240,11 +240,17 @@ def embedding_near_dup(spark, sf):
     )
     vl = emb.select(F.col("vec_id").alias("l"), F.col("embedding").alias("lv"))
     vr = emb.select(F.col("vec_id").alias("r"), F.col("embedding").alias("rv"))
-    cos = _dot(F.col("lv"), F.col("rv")) / (_norm(F.col("lv")) * _norm(F.col("rv")))
+    # Arrow-vectorized cosine (bit-identical to the expression-form
+    # fold — see similarity._cosine_fn); per-plan UDF creation
+    cos_udf = F.pandas_udf(_cosine_fn, "double")
     pairs = (
         cand.join(vl, "l")
         .join(vr, "r")
-        .select("l", "r", F.round(cos, 4).alias("cosine"))
+        .select(
+            "l",
+            "r",
+            F.round(cos_udf(F.col("lv"), F.col("rv")), 4).alias("cosine"),
+        )
         .filter(F.col("cosine") >= _COS_THRESHOLD)
     )
     edges = pairs.select(F.col("l").alias("v"), F.col("r").alias("o")).unionByName(
