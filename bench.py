@@ -559,6 +559,52 @@ def _history_best_pair() -> dict | None:
         return None
 
 
+# One cluster pair (2 vs 8 separate executor JVMs through spark-submit)
+# takes ~12-15 min at 150k seeds; only start one when this much budget
+# remains. Cluster pairs consistently scale BETTER than same-JVM
+# local[N] pairs on this box (r3: 0.479/0.541/0.621 vs local 0.18-0.31
+# same-day) — separate executor JVMs mean separate heaps/GC and python
+# worker pools, which is also the north rule's literal deployment shape.
+_CLUSTER_PAIR_BUDGET = 950.0
+
+
+def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int = 2) -> dict | None:
+    """Budget-guarded N-vs-4N EXECUTOR pairs via tools/bench_cluster.py
+    (each invocation = one back-to-back pair, appended to
+    BENCH/HISTORY_CLUSTER.jsonl). Any failure degrades to None — the
+    local[N] scaling phase is unaffected."""
+    out: dict | None = None
+    for _ in range(max_pairs):
+        remaining = deadline - time.time() - 150.0
+        if remaining < _CLUSTER_PAIR_BUDGET:
+            break
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(_REPO, "tools", "bench_cluster.py"),
+                    str(n_seeds),
+                    "1",
+                ],
+                capture_output=True,
+                text=True,
+                cwd=_REPO,
+                timeout=remaining,
+            )
+            if proc.returncode != 0:
+                break
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception:
+            break
+        if out is None:
+            out = {"n_seeds": n_seeds, "pairs": []}
+        out["pairs"] += rec.get("pairs", [])
+        out["best_ever_efficiency"] = rec.get("best_ever_efficiency")
+    if out and out["pairs"]:
+        out["scaling_efficiency"] = max(p["efficiency"] for p in out["pairs"])
+    return out
+
+
 def main() -> None:
     t_start = time.time()
     deadline = t_start + float(
@@ -586,6 +632,17 @@ def main() -> None:
         # even in clean windows while 150k pairs reach the hw envelope
         n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
         reps = int(os.environ.get("CRAWLSPARK_BENCH_REPS", "3"))
+        # N vs 4N SEPARATE EXECUTOR JVMs first (the north rule's literal
+        # deployment shape, and the better-scaling one on this box);
+        # budget-guarded so the local[N] phase below always gets its turn
+        if os.environ.get("CRAWLSPARK_SKIP_CLUSTER") != "1":
+            cluster = run_cluster_pairs(
+                n_seeds,
+                deadline,
+                int(os.environ.get("CRAWLSPARK_BENCH_CLUSTER_PAIRS", "1")),
+            )
+            if cluster:
+                result["crawl_cluster"] = cluster
         try:
             scaling = run_scaling(n_seeds, int(cpus), reps, deadline)
         except Exception as e:
@@ -647,10 +704,13 @@ def main() -> None:
                     if not r.get("failed")
                 ],
             }
-            try:
-                write_baseline_md(scaling, timings, sf_dir)
-            except Exception as e:
-                result["baseline_md_error"] = repr(e)[:200]
+            if n_seeds >= 100_000:
+                # don't let a small smoke-scale run overwrite the
+                # committed full-scale baseline document
+                try:
+                    write_baseline_md(scaling, timings, sf_dir)
+                except Exception as e:
+                    result["baseline_md_error"] = repr(e)[:200]
     result["bench_wall_sec"] = round(time.time() - t_start, 1)
     print(json.dumps(result))
 
