@@ -240,8 +240,9 @@ def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
         import glob
         import shutil
 
-        for d in glob.glob(os.path.join(tmp_root, "bench_crawl_*")):
-            shutil.rmtree(d, ignore_errors=True)
+        for pat in ("bench_crawl_*", "bench_cluster_*"):
+            for d in glob.glob(os.path.join(tmp_root, pat)):
+                shutil.rmtree(d, ignore_errors=True)
 
     _sweep_scratch()
     runs: list[dict] = []
