@@ -583,7 +583,10 @@ class CrawlEngine:
 
         with ThreadPoolExecutor(max_workers=8) as ex:
             # no coalesce on images: it would collapse the upstream
-            # mapInPandas fetch; maybe_compact() bounds file counts
+            # mapInPandas fetch. Per-round file count is bounded by the
+            # fetch partitioning (2x parallelism); rewriting image BYTES
+            # for file hygiene has no place on the hot path — at real
+            # scale that is Iceberg's async rewrite_data_files
             f_img = ex.submit(self.images.append, images_df)
             f_log = ex.submit(self.fetch_log.append, log_df, None, 2)
             if self.recrawl_after is None:
