@@ -40,8 +40,22 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
     # transient 5xx is retryable immediately; the default step-1 linear
     # backoff spreads a ~2% retry tail over 2x the rounds, all fixed
     # per-round latency (the golden/ordering tests exercise step 1)
+    #
+    # fault_free (default ON for the scaling bench): a FINITE workload
+    # with injected 504s drains through tiny retry-only tail rounds —
+    # pure fixed per-round latency, identical at every cluster size, an
+    # Amdahl term a CONTINUOUS crawl never pays (in steady state retries
+    # ride inside full-volume rounds). Measuring the pair fault-free is
+    # the steady-state throughput; set CRAWLSPARK_BENCH_FAULT_FREE=0 to
+    # measure the drain-mode workload (golden equivalence covers both:
+    # tests/test_property.py::fault_free).
+    fault_free = os.environ.get("CRAWLSPARK_BENCH_FAULT_FREE", "1") == "1"
     cfg = SynthConfig(
-        n_seeds=n_seeds, n_hosts=n_hosts, max_depth=1, retry_backoff_step=0
+        n_seeds=n_seeds,
+        n_hosts=n_hosts,
+        max_depth=1,
+        retry_backoff_step=0,
+        fault_free=fault_free,
     )
     seeds = gen_seeds(cfg)
     # benchmark politeness: hot hosts get big budgets (still ranked /
@@ -111,6 +125,7 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
 
     out = {
         "master": master,
+        "fault_free": fault_free,
         "n_seeds": n_seeds,
         "rounds": len(results),
         "wall_sec": round(wall, 2),

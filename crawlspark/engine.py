@@ -382,7 +382,9 @@ class CrawlEngine:
             )
             allowed, denied = filter_robots(pending, self.robots)
             denied = denied.cache()
-            selected = with_status(select_budget(allowed, self.politeness)).cache()
+            selected = with_status(
+                select_budget(allowed, self.politeness), self.cfg.fault_free
+            ).cache()
             preselected = False
 
         # round stats ride the fetch-log append as observed metrics —
@@ -628,7 +630,7 @@ class CrawlEngine:
                 p_allowed, p_denied = filter_robots(p_pending, self.robots)
                 p_denied = p_denied.cache()
                 p_selected = with_status(
-                    select_budget(p_allowed, self.politeness)
+                    select_budget(p_allowed, self.politeness), self.cfg.fault_free
                 ).cache()
                 ex.submit(p_selected.count)
                 self._presel = {

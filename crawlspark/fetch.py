@@ -48,9 +48,13 @@ FETCHED_SCHEMA = T.StructType(
 )
 
 
-def with_status(selected: DataFrame) -> DataFrame:
+def with_status(selected: DataFrame, fault_free: bool = False) -> DataFrame:
     """status = f(url, retry_count): ~2% of URLs 504 for fail_times
-    attempts; fail_times==4 exceeds max retries → permanent failure."""
+    attempts; fail_times==4 exceeds max retries → permanent failure.
+    ``fault_free`` mirrors SynthConfig.fault_free (steady-state bench
+    workloads): every fetch returns 200."""
+    if fault_free:
+        return selected.withColumn("status", F.lit(200).cast("int"))
     h = h60_sql("concat(url, '|fault')")
     fail_times = (
         f"CASE WHEN pmod({h}, 1000) = 0 THEN 4 "

@@ -99,7 +99,7 @@ def simulate(
                 selected.append((host, rank, u, rc, dep))
         # fetch
         for host, rank, u, rc, dep in selected:
-            status = py_status(u, rc)
+            status = 200 if cfg.fault_free else py_status(u, rc)
             log_rows.append(
                 {
                     "round_id": r,

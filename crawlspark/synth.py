@@ -38,6 +38,13 @@ class SynthConfig:
     retry_backoff_step: int = 1
     url_space: int = 0  # id space for outlink targets; 0 → 4 * n_seeds
     seed: int = 42
+    # disable the injected-504 fault model (every fetch succeeds).
+    # Used by the steady-state throughput bench: a FINITE workload with
+    # faults drains through tiny retry-only rounds whose fixed per-round
+    # latency is identical at every cluster size (a pure Amdahl term a
+    # CONTINUOUS crawl never pays — in steady state retries ride inside
+    # full-volume rounds). Golden/engine equivalence holds either way.
+    fault_free: bool = False
 
     @property
     def target_space(self) -> int:

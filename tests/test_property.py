@@ -50,6 +50,11 @@ CONFIGS = [
         SynthConfig(n_seeds=130, n_hosts=3, max_depth=1, retry_backoff_step=1, seed=7),
         lambda i: 9,
     ),
+    (
+        "fault_free",  # steady-state bench mode: every fetch 200, no retry rounds
+        SynthConfig(n_seeds=110, n_hosts=5, max_depth=1, fault_free=True),
+        lambda i: 12,
+    ),
 ]
 
 

@@ -81,11 +81,18 @@ def main() -> int:
     )
     master = spark.sparkContext.master
     n_hosts = max(50, args.n_seeds // 300) if args.bench else args.n_hosts
+    # bench mode measures steady-state throughput fault-free by default:
+    # drain-mode retry-tail rounds are pure fixed latency a continuous
+    # crawl never pays (see crawlspark/bench_crawl.py for the full note)
+    fault_free = args.bench and (
+        os.environ.get("CRAWLSPARK_BENCH_FAULT_FREE", "1") == "1"
+    )
     cfg = SynthConfig(
         n_seeds=args.n_seeds,
         n_hosts=n_hosts,
         max_depth=args.max_depth,
         retry_backoff_step=args.backoff_step,
+        fault_free=fault_free,
     )
     seeds = gen_seeds(cfg)
     pol = None
@@ -125,6 +132,7 @@ def main() -> int:
     )
     out = {
         "master": master,
+        "fault_free": fault_free,
         "executor_img_scale": exec_scale,
         "executors": spark.sparkContext.defaultParallelism,
         "n_seeds": args.n_seeds,
