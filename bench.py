@@ -406,13 +406,14 @@ def _cluster_pair_rows() -> list[str]:
                     p = json.loads(line)
                 except ValueError:
                     continue
+                wl = "steady-state" if p.get("fault_free") else "drain"
                 rows.append(
                     f"| {p['n_seeds']} | {p['N_rows_per_sec']} | "
-                    f"{p['4N_rows_per_sec']} | {p['efficiency']} |"
+                    f"{p['4N_rows_per_sec']} | {p['efficiency']} | {wl} |"
                 )
     except OSError:
-        return ["| (no cluster pairs recorded yet) | | | |"]
-    return rows or ["| (no cluster pairs recorded yet) | | | |"]
+        return ["| (no cluster pairs recorded yet) | | | | |"]
+    return rows or ["| (no cluster pairs recorded yet) | | | | |"]
 
 
 def write_baseline_md(scaling: dict, timings: dict, sf_dir: str) -> None:
@@ -506,8 +507,8 @@ def write_baseline_md(scaling: dict, timings: dict, sf_dir: str) -> None:
         "north rule's literal deployment shape. Recorded pairs",
         "(BENCH/HISTORY_CLUSTER.jsonl):",
         "",
-        "| n_seeds | N rows/s | 4N rows/s | efficiency |",
-        "|---|---|---|---|",
+        "| n_seeds | N rows/s | 4N rows/s | efficiency | workload |",
+        "|---|---|---|---|---|",
     ] + _cluster_pair_rows() + [
         "",
         "## All scaling runs (chronological)",

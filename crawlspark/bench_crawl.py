@@ -96,6 +96,7 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
         shuffle_partitions=int(os.environ.get("CRAWLSPARK_BENCH_SHUFFLE", "16")),
         app_name=f"bench-crawl-{master}",
         extra_conf=extra,
+        fair_jobs=True,
     )
     shutil.rmtree(workdir, ignore_errors=True)
     eng = CrawlEngine(spark, workdir, cfg, politeness_pdf=pol, use_cuckoo=True)

@@ -583,25 +583,53 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        def _pj(name, fn):
+            # profile-only: per-concurrent-job wall (measured from its
+            # own start — all jobs fan out together, so this is also
+            # elapsed-since-fan-out at completion)
+            if not _prof:
+                return fn
+
+            def wrapped():
+                j0 = _time.time()
+                r = fn()
+                print(
+                    f"[round {round_id}]   job {name:20s} "
+                    f"{_time.time() - j0:7.2f}s",
+                    flush=True,
+                )
+                return r
+
+            return wrapped
+
         with ThreadPoolExecutor(max_workers=8) as ex:
             # no coalesce on images: it would collapse the upstream
             # mapInPandas fetch. Per-round file count is bounded by the
             # fetch partitioning (2x parallelism); rewriting image BYTES
             # for file hygiene has no place on the hot path — at real
             # scale that is Iceberg's async rewrite_data_files
-            f_img = ex.submit(self.images.append, images_df)
-            f_log = ex.submit(self.fetch_log.append, log_df, None, 2)
+            f_img = ex.submit(_pj("images+fetch", lambda: self.images.append(images_df)))
+            f_log = ex.submit(
+                _pj("log append", lambda: self.fetch_log.append(log_df, None, 2))
+            )
             if self.recrawl_after is None:
-                f_seen = ex.submit(self.seen.append, newly_seen, None, 2)
+                f_seen = ex.submit(
+                    _pj("seen append", lambda: self.seen.append(newly_seen, None, 2))
+                )
             else:
                 # bucketed MERGE: rewrites only the buckets holding this
                 # round's refreshed URLs (O(delta), not O(seen table))
                 f_seen = ex.submit(
-                    self.seen.merge, newly_seen, ["url"], self._bucket()
+                    _pj(
+                        "seen merge",
+                        lambda: self.seen.merge(newly_seen, ["url"], self._bucket()),
+                    )
                 )
             f_due = ex.submit(due.count) if due is not None else None
-            f_front = ex.submit(_frontier_update)
-            f_counts = ex.submit(lambda: (pending.count(), denied.count()))
+            f_front = ex.submit(_pj("frontier update", _frontier_update))
+            f_counts = ex.submit(
+                _pj("counts", lambda: (pending.count(), denied.count()))
+            )
             # cheap jobs first: their results decide the next round, so
             # the speculative next-round selection can start while the
             # fetch stage (usually the longest job) is still running

@@ -15,17 +15,51 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _fair_allocation_file() -> str:
+    """Write (once) an allocation file making the default pool FAIR.
+
+    Spark's FAIR scheduler mode alone only arbitrates BETWEEN pools;
+    jobs inside the default pool still run FIFO unless the pool itself
+    is declared FAIR. The crawl round fans out one long fetch job plus
+    several small maintenance jobs (frontier rewrite, seen/log appends,
+    counts) from concurrent threads — under FIFO the small jobs' tasks
+    queue behind the fetch stage and finish 4-9 s AFTER it (a per-round
+    serial tail, measured in BENCH/NOTES.md); under a FAIR default pool
+    their tasks interleave and the round's critical path collapses to
+    the fetch stage itself. Scheduling changes task timing only, never
+    results — golden-ordering equivalence is asserted over this exact
+    configuration by tests/test_spark_submit.py.
+    """
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"crawlspark-fair-{os.getpid()}.xml")
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(
+                '<?xml version="1.0"?>\n<allocations>\n'
+                '  <pool name="default">\n'
+                "    <schedulingMode>FAIR</schedulingMode>\n"
+                "    <weight>1</weight>\n    <minShare>0</minShare>\n"
+                "  </pool>\n</allocations>\n"
+            )
+    return path
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "crawlspark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    fair_jobs: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``shuffle_partitions`` is intentionally fixed independent of core
     count so that local[8] and local[32] runs produce identical shuffle
     topology — required for the bit-identical-ordering contract.
+
+    ``fair_jobs`` enables FAIR task scheduling across the engine's
+    concurrent per-round jobs (see _fair_allocation_file).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -56,6 +90,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "48g"))
     )
+    if fair_jobs:
+        builder = builder.config("spark.scheduler.mode", "FAIR").config(
+            "spark.scheduler.allocation.file", _fair_allocation_file()
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -75,6 +75,10 @@ def main() -> None:
                     min(1.0, (x["fetch_rows_per_sec"] / n["fetch_rows_per_sec"]) / RATIO),
                     3,
                 ),
+                # steady-state (fault-free) vs drain-mode workload — see
+                # crawlspark/bench_crawl.py; absent in pre-round-3 rows
+                # (those were all drain-mode)
+                "fault_free": bool(n.get("fault_free", False)),
             }
         )
     hist = os.path.join(_REPO, "BENCH", "HISTORY_CLUSTER.jsonl")
@@ -99,10 +103,11 @@ def main() -> None:
         "within back-to-back pairs (same host weather); see",
         "BENCH/NOTES.md for why single-box ratios are weather-bound.",
         "",
-        "| pair | N rows/s | 4N rows/s | efficiency |",
-        "|---|---|---|---|",
+        "| pair | N rows/s | 4N rows/s | efficiency | workload |",
+        "|---|---|---|---|---|",
     ] + [
         f"| {i + 1} | {p['N_rows_per_sec']} | {p['4N_rows_per_sec']} | {p['efficiency']} |"
+        f" {'steady-state' if p.get('fault_free') else 'drain'} |"
         for i, p in enumerate(pairs)
     ] + [
         "",

@@ -78,6 +78,7 @@ def main() -> int:
         app_name="crawlspark-submit",
         shuffle_partitions=16 if args.bench else 8,
         extra_conf=extra_conf,
+        fair_jobs=True,
     )
     master = spark.sparkContext.master
     n_hosts = max(50, args.n_seeds // 300) if args.bench else args.n_hosts
