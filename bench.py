@@ -170,6 +170,31 @@ def hw_envelope(lo_procs: int, hi_procs: int, n: int = 16000) -> dict:
     out["efficiency"] = round(
         min(1.0, (out[hi_procs] / out[lo_procs]) / (hi_procs / lo_procs)), 3
     )
+    # SUSTAINED envelope: the burst probe above dodges this box's
+    # aggregate-load throttle (it kicks in after tens of seconds of
+    # full-width load and hits the high-proc level hardest — per-round
+    # profiles show 4N per-row fetch cost degrading ~30% from round 0
+    # to round 1 while N holds). One long run per level measures the
+    # ceiling a multi-minute crawl actually runs under; e2e pair
+    # efficiency should be judged against THIS number.
+    # size each level's run off its measured burst throughput so BOTH
+    # levels hold full-width load for ~35 s (a fixed row count gives the
+    # wide level only a few seconds — not sustained at all)
+    for nproc in (lo_procs, hi_procs):
+        n_sus = max(n, int(out[nproc] * 35))
+        chunks = [(i * n_sus // nproc, (i + 1) * n_sus // nproc) for i in range(nproc)]
+        with mp.Pool(nproc) as p:
+            t0 = time.time()
+            p.map(_hw_work, chunks)
+            out[f"sustained_{nproc}"] = round(n_sus / (time.time() - t0), 1)
+    out["sustained_efficiency"] = round(
+        min(
+            1.0,
+            (out[f"sustained_{hi_procs}"] / out[f"sustained_{lo_procs}"])
+            / (hi_procs / lo_procs),
+        ),
+        3,
+    )
     return out
 
 
@@ -371,7 +396,7 @@ def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
     # else reuse the last measured value (the ceiling is a property of
     # the box, not this build)
     hw = None
-    if deadline - time.time() > 120:
+    if deadline - time.time() > 200:
         try:
             hw = hw_envelope(lo, cpus)
             os.makedirs(os.path.dirname(_hw_cache_path()), exist_ok=True)
@@ -389,9 +414,15 @@ def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
             }
             hw["cached"] = True
     out["hw_envelope"] = hw or {"efficiency": 0.0, "unavailable": True}
-    if out["hw_envelope"]["efficiency"] > 0:
+    # normalize against the SUSTAINED ceiling when measured — a
+    # multi-minute crawl runs under the sustained throttle, not the
+    # burst ceiling (burst kept for comparability with older rows)
+    norm_base = out["hw_envelope"].get("sustained_efficiency") or out[
+        "hw_envelope"
+    ]["efficiency"]
+    if norm_base > 0:
         out["normalized_efficiency"] = round(
-            out["scaling_efficiency"] / out["hw_envelope"]["efficiency"], 3
+            out["scaling_efficiency"] / norm_base, 3
         )
     return out
 
@@ -481,19 +512,25 @@ def write_baseline_md(scaling: dict, timings: dict, sf_dir: str) -> None:
         "zlib encode + DCT phash) run through plain multiprocessing — no",
         "Spark, no shuffles, no scheduler:",
         "",
-        f"| procs | images/s |",
-        f"|---|---|",
-        f"| {lo_procs} | {hw[lo_procs]} |",
-        f"| {hi_procs} | {hw[hi_procs]} |",
+        f"| procs | burst images/s | sustained images/s |",
+        f"|---|---|---|",
+        f"| {lo_procs} | {hw[lo_procs]} | {hw.get(f'sustained_{lo_procs}', 'n/a')} |",
+        f"| {hi_procs} | {hw[hi_procs]} | {hw.get(f'sustained_{hi_procs}', 'n/a')} |",
         "",
         f"**Hardware envelope efficiency at {scaling['core_ratio']}x procs: "
-        f"{hw['efficiency']}** — this is the CEILING any {lo_procs}→{hi_procs}",
+        f"burst {hw['efficiency']}, sustained "
+        f"{hw.get('sustained_efficiency', 'n/a')}** — the SUSTAINED number is",
+        "the ceiling a multi-minute crawl runs under (this box throttles",
+        "aggregate load after tens of seconds of full-width demand,",
+        "hitting the wide level hardest — per-round profiles show 4N",
+        "per-row fetch cost degrading ~30% round 0 → round 1 while N",
+        f"holds); it is the CEILING any {lo_procs}→{hi_procs}",
         "comparison can reach on this box (shared/oversubscribed cores +",
         "memory-bandwidth-bound codec). The engine criterion is therefore",
         "read against it:",
         "",
-        f"**Normalized end-to-end efficiency (engine / hardware): "
-        f"{scaling.get('normalized_efficiency', 'n/a')}** — ≥0.8 here means the",
+        f"**Normalized end-to-end efficiency (engine / sustained hardware "
+        f"ceiling): {scaling.get('normalized_efficiency', 'n/a')}** — ≥0.8 here means the",
         "ENGINE adds no scaling bottleneck beyond the machine itself; on a",
         "real N vs 4N executor cluster (per-node memory buses, per-node",
         "disks) the hardware envelope is ~1.0 and the engine number is the",
