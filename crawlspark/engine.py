@@ -167,7 +167,14 @@ class CrawlEngine:
             os.path.join(workdir, "frontier"), frontier_buckets
         )
         self.seen = BucketedTable(os.path.join(workdir, "url_seen"), frontier_buckets)
-        self.images = SnapTable(os.path.join(workdir, "images"))
+        # images: bytes are zlib-compressed by the codec already —
+        # write the parquet uncompressed so the append (which rides the
+        # fetch stage on the round's critical path) skips a pointless
+        # snappy pass over ~90% of the table's bytes
+        self.images = SnapTable(
+            os.path.join(workdir, "images"),
+            write_options={"compression": "uncompressed"},
+        )
         self.fetch_log = SnapTable(os.path.join(workdir, "fetch_log"))
         self.cuckoo = CuckooSeen(os.path.join(workdir, "cuckoo"), n_pg=cuckoo_pg)
         self.state_dir = os.path.join(workdir, "state")

@@ -33,9 +33,21 @@ from pyspark.sql import types as T
 
 
 class SnapTable:
-    def __init__(self, path: str, name: str | None = None) -> None:
+    def __init__(
+        self,
+        path: str,
+        name: str | None = None,
+        write_options: dict[str, str] | None = None,
+    ) -> None:
         self.path = path
         self.name = name or os.path.basename(path.rstrip("/"))
+        # per-table parquet writer options. The images table sets
+        # compression=uncompressed: its bytes column is already
+        # zlib-compressed by the codec, so snappy on top burns CPU in
+        # the round's critical path (the append rides the fetch stage)
+        # for ~0% size win — the standard columnar-storage rule that
+        # pre-compressed binary columns ship uncompressed.
+        self.write_options = dict(write_options or {})
         self.meta_dir = os.path.join(path, "_meta")
         self.data_dir = os.path.join(path, "data")
         # commits are a read-modify-write of HEAD + the max snapshot id;
@@ -106,7 +118,10 @@ class SnapTable:
 
     def _write_data(self, df: DataFrame) -> str:
         d = os.path.join(self.data_dir, f"d-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(d)
+        w = df.write.mode("overwrite")
+        for k, v in self.write_options.items():
+            w = w.option(k, v)
+        w.parquet(d)
         return d
 
     def append(self, df: DataFrame, meta: dict | None = None, nfiles: int | None = None) -> int:
@@ -343,9 +358,14 @@ class BucketedTable(SnapTable):
                 )
             out_schema = df.schema
             d = self.new_data_dir()
-            df.withColumn("bucket_part", bucket_col).write.partitionBy(
-                "bucket_part"
-            ).mode("overwrite").parquet(d)
+            w = (
+                df.withColumn("bucket_part", bucket_col)
+                .write.partitionBy("bucket_part")
+                .mode("overwrite")
+            )
+            for k, v in self.write_options.items():
+                w = w.option(k, v)
+            w.parquet(d)
             new_map = {
                 b: p for b, p in old_map.items() if int(b) not in dirty_set
             }
