@@ -64,3 +64,29 @@ def test_expire_reclaims_old_snapshots(spark, tmp_path):
     t.expire(keep_snapshots=[keep])
     t.rollback(keep)
     assert t.read(spark).count() == 5
+
+
+def test_write_options_control_parquet_codec(spark, tmp_path):
+    """Per-table write_options reach every parquet writer (the images
+    table writes compression=uncompressed because its bytes column is
+    already zlib-compressed by the codec — re-compressing is wasted
+    CPU on the round's critical path)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = SnapTable(
+        str(tmp_path / "u"), write_options={"compression": "uncompressed"}
+    )
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    t.commit_empty(schema)
+    t.append(spark.range(100).selectExpr("id as x"))
+    files = glob.glob(os.path.join(t.data_dir, "*", "*.parquet"))
+    assert files
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in files
+        if pq.ParquetFile(f).metadata.num_rows
+    }
+    assert codecs == {"UNCOMPRESSED"}
+    assert t.read(spark).count() == 100
