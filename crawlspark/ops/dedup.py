@@ -125,27 +125,33 @@ FROM bands GROUP BY band, bucket HAVING count(*) >= 1
 """
 
 
-# --- SimHash (64-bit) from token md5 digits. 64 bits = two 32-bit
-# halves so each half stays comfortably inside a signed BIGINT in both
-# engines: bits 0-31 from md5(t), bits 32-63 from md5('s|' || t).
-# Still one explode + one hash-agg pass — corpus-scale near-dup needs
-# the full 64 bits for a usable Hamming-distance threshold.
+# --- SimHash (64-bit, classic Charikar ±1 bit weights) from token
+# md5s. 64 bits = two 32-bit halves so each half stays comfortably
+# inside a signed BIGINT in both engines: bits 0-31 from md5(t), bits
+# 32-63 from md5('s|' || t). One explode + one hash-agg pass — and the
+# per-token work is 2 md5s + 2 hex parses + 64 integer shift/mask ops
+# (whole-stage-codegen ints), not 64 substring/instr string ops: bit b
+# contributes +1 if set else -1, and the doc bit is set iff the sum is
+# positive, i.e. iff popcount_b(tokens) > n_tokens/2.
 def simhash(spark, sf):
     docs = load_spread(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).distinct()
-    tok = tok.withColumn("h", F.md5("t")).withColumn(
-        "h2", F.md5(F.concat(F.lit("s|"), F.col("t")))
+    # parse the top 8 hex chars of each md5 into a 32-bit int once;
+    # every bit weight is then a shift+mask on that int
+    tok = tok.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)").alias("v1"),
+        F.expr(
+            "cast(conv(substring(md5(concat('s|', t)), 1, 8), 16, 10) as bigint)"
+        ).alias("v2"),
     )
-    # digit b of the md5 → weight in [-7.5, +7.5]; bit = sum > 0
-    bit_cols = []
+    agg = [F.count(F.lit(1)).alias("n")]
     for b in range(32):
-        w = F.expr(f"instr('0123456789abcdef', substring(h, {b + 1}, 1))") - 8.5
-        bit_cols.append(F.sum(w).alias(f"s{b}"))
-        w2 = F.expr(f"instr('0123456789abcdef', substring(h2, {b + 1}, 1))") - 8.5
-        bit_cols.append(F.sum(w2).alias(f"u{b}"))
-    sums = tok.groupBy("doc_id").agg(*bit_cols)
-    lo = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
-    hi = " + ".join(f"(CASE WHEN u{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+        agg.append(F.expr(f"sum((v1 >> {b}) & 1)").alias(f"c{b}"))
+        agg.append(F.expr(f"sum((v2 >> {b}) & 1)").alias(f"d{b}"))
+    sums = tok.groupBy("doc_id").agg(*agg)
+    lo = " + ".join(f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
+    hi = " + ".join(f"(CASE WHEN 2*d{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))
     return sums.select(
         "doc_id",
         F.expr(f"cast({lo} as bigint)").alias("simhash_lo"),
@@ -155,17 +161,19 @@ def simhash(spark, sf):
 
 SIMHASH_SQL = f"""
 WITH tok AS (
-  SELECT DISTINCT doc_id, md5(t) AS h, md5(concat('s|', t)) AS h2
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(t), 1, 8))::BIGINT AS v1,
+         ('0x' || substring(md5(concat('s|', t)), 1, 8))::BIGINT AS v2
   FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
 ), sums AS (
-  SELECT doc_id,
-         {", ".join(f"sum(strpos('0123456789abcdef', substring(h, {b + 1}, 1)) - 8.5) AS s{b}" for b in range(32))},
-         {", ".join(f"sum(strpos('0123456789abcdef', substring(h2, {b + 1}, 1)) - 8.5) AS u{b}" for b in range(32))}
+  SELECT doc_id, count(*) AS n,
+         {", ".join(f"sum((v1 >> {b}) & 1) AS c{b}" for b in range(32))},
+         {", ".join(f"sum((v2 >> {b}) & 1) AS d{b}" for b in range(32))}
   FROM tok GROUP BY doc_id
 )
 SELECT doc_id,
-       ({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_lo,
-       ({" + ".join(f"(CASE WHEN u{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_hi
+       ({" + ".join(f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_lo,
+       ({" + ".join(f"(CASE WHEN 2*d{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_hi
 FROM sums
 """
 
