@@ -247,7 +247,11 @@ _PROBE_MASKS = (
 
 def lsh_ann_topk(spark, sf):
     emb = load_spread(spark, sf, "embeddings")
-    entries = _bucket_entries(emb)
+    # both join sides (query probes and candidates) derive from the
+    # bucket entries; without a cache the Arrow-batched hashing UDF
+    # would run twice over every embedding. The cached relation is
+    # (int, int, int) rows — tiny relative to the vectors.
+    entries = _bucket_entries(emb).cache()
     probes = F.array(*[F.lit(m) for m in _PROBE_MASKS])
     q_probe = (
         entries.filter(F.col("vec_id") < _N_QUERIES * 10)
