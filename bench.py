@@ -438,6 +438,7 @@ def _cluster_pair_rows() -> list[str]:
                 except ValueError:
                     continue
                 wl = "steady-state" if p.get("fault_free") else "drain"
+                wl += f" {p['shape']}" if p.get("shape") else ""
                 rows.append(
                     f"| {p['n_seeds']} | {p['N_rows_per_sec']} | "
                     f"{p['4N_rows_per_sec']} | {p['efficiency']} | {wl} |"
