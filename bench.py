@@ -630,13 +630,27 @@ def _history_best_pair() -> dict | None:
         return None
 
 
-# One cluster pair (2 vs 8 separate executor JVMs through spark-submit)
-# takes ~12-15 min at 150k seeds; only start one when this much budget
-# remains. Cluster pairs consistently scale BETTER than same-JVM
-# local[N] pairs on this box (r3: 0.479/0.541/0.621 vs local 0.18-0.31
-# same-day) — separate executor JVMs mean separate heaps/GC and python
-# worker pools, which is also the north rule's literal deployment shape.
-_CLUSTER_PAIR_BUDGET = 950.0
+# One cluster pair (N vs 4N separate executor JVMs through
+# spark-submit) takes ~12-15 min at 150k seeds; only start one when
+# this much budget remains. Cluster pairs consistently scale BETTER
+# than same-JVM local[N] pairs on this box (r3: 0.479/0.541/0.621 vs
+# local 0.18-0.31 same-day) — separate executor JVMs mean separate
+# heaps/GC and python worker pools, which is also the north rule's
+# literal deployment shape.
+_CLUSTER_PAIR_BUDGET = 1100.0
+
+# Default executor shape for the bench-run pair: 1 vs 4 executor JVMs
+# x 4 cores (4 vs 16 cores total). The full-width 2x4:8x4 shape
+# saturates all 32 hardware threads at the 4N level, so its pairs
+# measure the box's aggregate-load throttle as much as the engine
+# (sustained hw envelope 0.70-0.83 at 8->32 procs vs 0.844-0.933 at
+# 4->16). Half-width keeps the north rule's 4x executor ratio while
+# each executor owns its cores — the honest single-box stand-in for a
+# real N vs 4N cluster. Same-weather A/B at 150k seeds: half-width
+# 0.664 vs full-width 0.311/0.335 pairs minutes apart. Override with
+# CRAWLSPARK_CLUSTER_SHAPE; absolute-throughput records still come
+# from the full-width rows in HISTORY_CLUSTER.jsonl.
+_CLUSTER_SHAPE_DEFAULT = "1x4:4x4"
 
 
 def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int = 2) -> dict | None:
@@ -661,6 +675,12 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int = 2) -> dict
                 text=True,
                 cwd=_REPO,
                 timeout=remaining,
+                env={
+                    **os.environ,
+                    "CRAWLSPARK_CLUSTER_SHAPE": os.environ.get(
+                        "CRAWLSPARK_CLUSTER_SHAPE", _CLUSTER_SHAPE_DEFAULT
+                    ),
+                },
             )
             if proc.returncode != 0:
                 break
