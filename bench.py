@@ -375,9 +375,15 @@ def run_scaling(n_seeds: int, cpus: int, reps: int, deadline: float) -> dict:
     # full history published for honesty
     hist_path = os.path.join(_REPO, "BENCH", "HISTORY.jsonl")
     os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+    shape = f"local[{lo}]:local[{cpus}]"
     with open(hist_path, "a") as f:
         for p in pairs:
-            f.write(json.dumps({"ts": int(time.time()), "n_seeds": n_seeds, **p}) + "\n")
+            f.write(
+                json.dumps(
+                    {"ts": int(time.time()), "n_seeds": n_seeds, "shape": shape, **p}
+                )
+                + "\n"
+            )
     hist = []
     with open(hist_path) as f:
         for line in f:
@@ -747,8 +753,14 @@ def main() -> None:
             )
             if cluster:
                 result["crawl_cluster"] = cluster
+        # The single-JVM pair width is independently tunable: full width
+        # (8:32) measures absolute throughput but runs the 4N level into
+        # this box's full-width throttle; half width (4:16) is the
+        # honest scaling shape (each level leaves headroom), mirroring
+        # the cluster pair's 1x4:4x4 finding.
+        local_cpus = int(os.environ.get("CRAWLSPARK_BENCH_LOCAL_CPUS", cpus))
         try:
-            scaling = run_scaling(n_seeds, int(cpus), reps, deadline)
+            scaling = run_scaling(n_seeds, local_cpus, reps, deadline)
         except Exception as e:
             scaling = {"incomplete": True, "runs": [], "error": repr(e)[:500]}
         if scaling.get("incomplete"):
