@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_buckets",
     "simhash",
+    "phash_hamming_near_dup",
     "token_stats",
     "cosine_topk",
     "lsh_ann_topk",

@@ -133,7 +133,9 @@ FROM bands GROUP BY band, bucket HAVING count(*) >= 1
 # (whole-stage-codegen ints), not 64 substring/instr string ops: bit b
 # contributes +1 if set else -1, and the doc bit is set iff the sum is
 # positive, i.e. iff popcount_b(tokens) > n_tokens/2.
-def simhash(spark, sf):
+def _simhash_sig(spark, sf):
+    """64-bit signature DF (doc_id, simhash_lo, simhash_hi) — shared by
+    the simhash gate and the Hamming near-dup/top-k operators."""
     docs = load_spread(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).distinct()
     # parse the top 8 hex chars of each md5 into a 32-bit int once;
@@ -159,8 +161,13 @@ def simhash(spark, sf):
     )
 
 
-SIMHASH_SQL = f"""
-WITH tok AS (
+def simhash(spark, sf):
+    return _simhash_sig(spark, sf)
+
+
+# DuckDB CTE producing sig(doc_id, simhash_lo, simhash_hi) — shared by
+# SIMHASH_SQL, the Hamming near-dup oracle and the top-k oracle.
+_SIG64_DUCK = f"""tok AS (
   SELECT DISTINCT doc_id,
          ('0x' || substring(md5(t), 1, 8))::BIGINT AS v1,
          ('0x' || substring(md5(concat('s|', t)), 1, 8))::BIGINT AS v2
@@ -170,11 +177,97 @@ WITH tok AS (
          {", ".join(f"sum((v1 >> {b}) & 1) AS c{b}" for b in range(32))},
          {", ".join(f"sum((v2 >> {b}) & 1) AS d{b}" for b in range(32))}
   FROM tok GROUP BY doc_id
-)
-SELECT doc_id,
+), sig AS (
+  SELECT doc_id,
        ({" + ".join(f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_lo,
        ({" + ".join(f"(CASE WHEN 2*d{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash_hi
-FROM sums
+  FROM sums
+)"""
+
+SIMHASH_SQL = f"""
+WITH {_SIG64_DUCK}
+SELECT doc_id, simhash_lo, simhash_hi FROM sig
+"""
+
+
+# --- 64-bit Hamming near-dup join (the image-pHash dedup primitive,
+# re-expressed over any 64-bit perceptual/similarity hash carried as
+# two 32-bit halves so the values stay portable to DuckDB BIGINTs —
+# the engine's real DCT pHash, engine.py images.phash, splits into the
+# same halves via split_phash64). Candidates come from 4 x 16-bit band
+# buckets: by pigeonhole, any pair within Hamming distance tau <= 3
+# agrees exactly on at least one band, so banding is EXACT (recall
+# 1.0) for tau <= 3 while never scoring a global cross join. At 10^10
+# images the per-band self-join is keyed on (band, bucket) — the same
+# bounded-bucket shape as MinHash banding.
+_HAM_TAU = 3
+
+
+def split_phash64(df, phash_col: str, lo: str = "phash_lo", hi: str = "phash_hi"):
+    """Split a signed int64 pHash column into two unsigned-32-bit-in-
+    BIGINT halves (the portable representation hamming_near_dup takes)."""
+    return df.withColumn(lo, F.expr(f"{phash_col} & 4294967295")).withColumn(
+        hi, F.expr(f"({phash_col} >> 32) & 4294967295")
+    )
+
+
+def hamming_near_dup(sig, id_col: str, lo_col: str, hi_col: str, tau: int = _HAM_TAU):
+    """All pairs with popcount(xor) <= tau over a 64-bit hash in two
+    32-bit halves. Exact for tau <= 3 (4 bands x 16 bits, pigeonhole);
+    for larger tau raise the band count instead of widening buckets."""
+    parts = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"({col} >> {shift}) & 65535").alias("bucket"),
+        )
+        for b, (col, shift) in enumerate(
+            [(lo_col, 0), (lo_col, 16), (hi_col, 0), (hi_col, 16)]
+        )
+    ]
+    bb = sig.select(
+        F.col(id_col), F.col(lo_col), F.col(hi_col), F.explode(F.array(*parts)).alias("bb")
+    ).select(id_col, lo_col, hi_col, "bb.band", "bb.bucket")
+    a, b = bb.alias("a"), bb.alias("b")
+    ham = F.expr(
+        f"bit_count(a.{lo_col} ^ b.{lo_col}) + bit_count(a.{hi_col} ^ b.{hi_col})"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= tau)
+        .distinct()  # a pair may collide in several bands
+    )
+
+
+def phash_hamming_near_dup(spark, sf):
+    """Gate: Hamming near-dup over the deterministic 64-bit document
+    signature (the text stand-in for image pHash — same int domain,
+    same banding; the oracle brute-forces all pairs, the Spark side
+    must reach identical recall through the buckets).
+
+    The signature relation is cached: the band self-join reads it on
+    both sides, and without a cache the 65-aggregate signature pass
+    runs twice (measured 21s -> ~2s at sf0.1). In production the
+    signatures ARE a table (computed once per corpus, like the engine's
+    images.phash column), so one-pass semantics is also the honest
+    scale model. Rows are 3 BIGINTs each — negligible cache footprint."""
+    sig = _simhash_sig(spark, sf).cache()
+    return hamming_near_dup(sig, "doc_id", "simhash_lo", "simhash_hi")
+
+
+HAMMING_NEAR_DUP_SQL = f"""
+WITH {_SIG64_DUCK}
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       bit_count(xor(a.simhash_lo, b.simhash_lo))
+       + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash_lo, b.simhash_lo))
+      + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= {_HAM_TAU}
 """
 
 
@@ -304,6 +397,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_buckets": minhash_lsh_buckets,
     "simhash": simhash,
+    "phash_hamming_near_dup": phash_hamming_near_dup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_near_dup": embedding_near_dup,
 }
@@ -312,6 +406,7 @@ ORACLES = {
     "dedup_exact": EXACT_SQL,
     "minhash_lsh_buckets": MINHASH_SQL,
     "simhash": SIMHASH_SQL,
+    "phash_hamming_near_dup": HAMMING_NEAR_DUP_SQL,
     "ngram_jaccard_pairs": JACCARD_SQL,
     "embedding_near_dup": _near_dup_sql(),
 }

@@ -408,8 +408,59 @@ SELECT qid, rank, nid, cosine FROM (
 """
 
 
+def phash_hamming_topk(spark, sf):
+    """Hamming top-k over the 64-bit perceptual-hash domain ("find the
+    images most similar to this one"): the integer twin of cosine_topk.
+    Query side is a fixed broadcast slice, candidates a full scan —
+    popcount(xor) is a pure JVM int expression, no Python. Ties broken
+    by neighbor id so ranks are deterministic in both engines."""
+    from .dedup import _simhash_sig
+
+    sig = _simhash_sig(spark, sf)
+    q = sig.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.col("simhash_lo").alias("qlo"),
+        F.col("simhash_hi").alias("qhi"),
+    )
+    c = sig.select(F.col("doc_id").alias("nid"), "simhash_lo", "simhash_hi")
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        F.expr("bit_count(qlo ^ simhash_lo) + bit_count(qhi ^ simhash_hi)").alias(
+            "hamming"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "rank", "nid", "hamming")
+    )
+
+
+def _hamming_topk_sql() -> str:
+    from .dedup import _SIG64_DUCK
+
+    return f"""
+WITH {_SIG64_DUCK},
+q AS (SELECT doc_id AS qid, simhash_lo AS qlo, simhash_hi AS qhi FROM sig WHERE doc_id < {_N_QUERIES}),
+scored AS (
+  SELECT qid, doc_id AS nid,
+         bit_count(xor(qlo, simhash_lo)) + bit_count(xor(qhi, simhash_hi)) AS hamming
+  FROM q, sig WHERE qid <> doc_id
+)
+SELECT qid, rank, nid, hamming FROM (
+  SELECT qid, nid, hamming,
+         row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": cosine_topk,
+    "phash_hamming_topk": phash_hamming_topk,
     "embedding_lsh_buckets": embedding_lsh_buckets,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
@@ -417,6 +468,7 @@ QUERIES = {
 
 ORACLES = {
     "cosine_topk": COSINE_SQL,
+    "phash_hamming_topk": _hamming_topk_sql(),
     "embedding_lsh_buckets": LSH_SQL,
     "lsh_ann_topk": LSH_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,

@@ -1,0 +1,57 @@
+"""Hamming near-dup over REAL image pHashes (codec.phash, the engine's
+images.phash column): a slightly-perturbed copy of an image must land
+within the banded near-dup join's tau, an unrelated image must not.
+This wires the same hamming_near_dup used by the phash_hamming_near_dup
+gate to the actual 64-bit DCT pHash int domain via split_phash64.
+"""
+
+import numpy as np
+
+from crawlspark import codec
+from crawlspark.ops.dedup import hamming_near_dup, split_phash64
+
+
+def _perturb(px: np.ndarray, seed: int, amp: int = 2) -> np.ndarray:
+    """A lossy-recompression stand-in: tiny uniform noise, clipped."""
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(-amp, amp + 1, size=px.shape)
+    return np.clip(px.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+def test_real_phash_near_dup_pairs(spark):
+    base = codec.pixels_for(12345, 64, 64)
+    near = _perturb(base, seed=7)
+    other = codec.pixels_for(99999, 64, 64)
+
+    h_base = codec.phash(base)
+    h_near = codec.phash(near)
+    h_other = codec.phash(other)
+
+    # sanity on the raw ints before Spark gets involved
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h_base, h_near) <= 3, "perturbation moved pHash too far"
+    assert ham(h_base, h_other) > 3, "unrelated images collide"
+
+    df = spark.createDataFrame(
+        [(0, h_base), (1, h_near), (2, h_other)], "image_id int, phash long"
+    )
+    sig = split_phash64(df, "phash")
+    pairs = hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=3)
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_split_phash64_roundtrip(spark):
+    vals = [0, -1, 1, -(1 << 63), (1 << 63) - 1, 0x0123456789ABCDEF, -0x0123456789ABCDEF]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, phash long")
+    out = split_phash64(df, "phash").collect()
+    for row in out:
+        lo, hi = row.phash_lo, row.phash_hi
+        assert 0 <= lo < (1 << 32) and 0 <= hi < (1 << 32)
+        recon = (hi << 32) | lo
+        if recon >= 1 << 63:
+            recon -= 1 << 64
+        assert recon == row.phash
