@@ -69,6 +69,7 @@ def _registry():
         dedup,
         docpipe,
         enrich,
+        imageops,
         multimodal,
         nested,
         querysurface,
@@ -94,6 +95,7 @@ def _registry():
         text,
         similarity,
         multimodal,
+        imageops,
     ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -119,7 +121,10 @@ def _registry():
     #     bucket assignments matching the oracle (and it is the slowest
     #     gate at ~10s);
     # (d) images_decode_check — rows-only, covered by its green sibling
-    #     images_from_documents + the golden PSNR/caption tests.
+    #     images_from_documents + the golden PSNR/caption tests;
+    # (e) the ops/imageops.py family — rows-only by nature (codec in the
+    #     pipeline), pinned pixel-exactly by tests/test_imageops.py, so
+    #     a driver row adds the least information of all.
     # images_from_documents stays INSIDE the first 50 so the codec
     # surface keeps a driver row even under a hard cap.
     tail = [
@@ -127,6 +132,10 @@ def _registry():
         "phash_hamming_topk",
         "embedding_lsh_buckets",
         "images_decode_check",
+        "images_thumbnail",
+        "image_embed",
+        "image_ann_topk",
+        "frames_sample",
     ]
     for name in tail:
         queries[name] = queries.pop(name)
