@@ -28,6 +28,8 @@ AUDITED = [
     "doi_citation_enrich",
     "minhash_lsh_buckets",
     "ngram_jaccard_pairs",
+    "phash_hamming_near_dup",
+    "image_ann_topk",
     "cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
