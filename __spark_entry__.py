@@ -135,6 +135,7 @@ def _registry():
         "images_thumbnail",
         "image_embed",
         "image_ann_topk",
+        "images_near_dup_keepers",
         "frames_sample",
     ]
     for name in tail:

@@ -211,18 +211,30 @@ def split_phash64(df, phash_col: str, lo: str = "phash_lo", hi: str = "phash_hi"
     )
 
 
-def hamming_near_dup(sig, id_col: str, lo_col: str, hi_col: str, tau: int = _HAM_TAU):
+def hamming_near_dup(
+    sig, id_col: str, lo_col: str, hi_col: str, tau: int = _HAM_TAU, n_bands: int | None = None
+):
     """All pairs with popcount(xor) <= tau over a 64-bit hash in two
-    32-bit halves. Exact for tau <= 3 (4 bands x 16 bits, pigeonhole);
-    for larger tau raise the band count instead of widening buckets."""
+    32-bit halves. By pigeonhole, banding into n_bands equal slices is
+    EXACT (recall 1.0) whenever tau <= n_bands - 1 — the default picks
+    the smallest band count that keeps that guarantee (tau+1, rounded
+    up to a divisor of 32 so no band spans the lo/hi boundary: 4, 8,
+    16 or 32 bands of 16/8/4/2 bits). More bands = more candidate rows
+    but smaller buckets; for tau <= 3 the classic 4x16-bit layout wins."""
+    if n_bands is None:
+        n_bands = next(nb for nb in (4, 8, 16, 32) if nb - 1 >= tau or nb == 32)
+    assert n_bands in (4, 8, 16, 32), "band width must divide 32"
+    assert tau <= n_bands - 1, f"banding not exact: tau={tau} needs >= {tau + 1} bands"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     parts = [
         F.struct(
             F.lit(b).alias("band"),
-            F.expr(f"({col} >> {shift}) & 65535").alias("bucket"),
+            F.expr(f"({lo_col if off < 32 else hi_col} >> {off % 32}) & {mask}").alias(
+                "bucket"
+            ),
         )
-        for b, (col, shift) in enumerate(
-            [(lo_col, 0), (lo_col, 16), (hi_col, 0), (hi_col, 16)]
-        )
+        for b, off in enumerate(range(0, 64, width))
     ]
     bb = sig.select(
         F.col(id_col), F.col(lo_col), F.col(hi_col), F.explode(F.array(*parts)).alias("bb")

@@ -39,7 +39,6 @@ _EMBED_GRID = 8  # 8x8 grayscale grid -> dim-64 embeddings (same dim as
 _FRAME_STRIDE = 2
 _FRAME_SIDE = 32
 _N_QUERIES = 5
-_TOP_K = 3
 
 
 def _ensure_repo_path() -> None:
@@ -218,6 +217,94 @@ def image_ann_topk(spark, sf):
     return _score_topk(pairs)
 
 
+# --------------------------------------------------- image near-dup keepers
+_TWIN_EVERY = 10
+_TWIN_OFFSET = 1_000_000
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("thumb_phash", T.LongType(), False),
+    ]
+)
+
+
+def thumb_signatures(spark, sf, twin_every: int = 0):
+    """(doc_id, thumb_phash) per image: decode -> 32x32 area thumbnail
+    -> pHash, one shuffle-free Arrow stage. With twin_every > 0, every
+    twin_every-th doc also emits a NEAR-DUPLICATE twin (deterministic
+    ±2 pixel noise, id + _TWIN_OFFSET) — the lossy-recompression copy a
+    real crawl encounters, so the dedup gate exercises non-empty
+    clusters on otherwise all-distinct synthetic images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _ensure_repo_path()
+        import numpy as np
+
+        from crawlspark.codec import decode, phash, synth_image
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                img = synth_image(url)
+                px = decode(img["bytes"], img["fmt"])
+                rows.append(
+                    {"doc_id": int(doc_id), "thumb_phash": phash(resize_area(px, _THUMB, _THUMB))}
+                )
+                if twin_every and int(doc_id) % twin_every == 0:
+                    rng = np.random.default_rng(int(doc_id))
+                    near = np.clip(
+                        px.astype(np.int32) + rng.integers(-2, 3, size=px.shape), 0, 255
+                    ).astype(np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id) + _TWIN_OFFSET,
+                            "thumb_phash": phash(resize_area(near, _THUMB, _THUMB)),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "thumb_phash"])
+
+    return _doc_urls(spark, sf).mapInPandas(run, SIG_SCHEMA)
+
+
+def images_near_dup_keepers(spark, sf):
+    """End-to-end image dedup: thumbnail pHash -> banded Hamming
+    near-dup join (tau=2: after a 32x32 area resize, lossy-codec noise
+    moves the DCT hash by at most a bit or two while distinct images
+    stay ~32 bits apart) -> one-agg keeper map, the same reduction as
+    embedding_near_dup (no iterative connected components: v keeps
+    min(v, min neighbor), which at crawl scale collapses the dominant
+    duplicate pattern — exact/near-copies of one original — in a
+    single shuffle). Every 10th image carries an injected perturbed
+    twin so the gate's clusters are non-empty (see thumb_signatures)."""
+    from .dedup import hamming_near_dup, split_phash64
+
+    thumbs = thumb_signatures(spark, sf, twin_every=_TWIN_EVERY).cache()
+    sig = split_phash64(thumbs, "thumb_phash")
+    pairs = hamming_near_dup(sig, "doc_id", "phash_lo", "phash_hi", tau=2)
+    return keeper_map(pairs, "doc_id")
+
+
+def keeper_map(pairs, id_col: str):
+    """One-agg keeper reduction over (left_id, right_id) duplicate
+    pairs: each id keeps min(self, min neighbor). Output one row per id
+    that HAS a duplicate: (id_col, keeper_id, n_dups)."""
+    edges = pairs.select(F.col("left_id").alias("v"), F.col("right_id").alias("o")).unionByName(
+        pairs.select(F.col("right_id").alias("v"), F.col("left_id").alias("o"))
+    )
+    return (
+        edges.groupBy("v")
+        .agg(F.min("o").alias("mo"), F.count("*").alias("n_dups"))
+        .select(
+            F.col("v").alias(id_col),
+            F.least(F.col("mo"), F.col("v")).alias("keeper_id"),
+            "n_dups",
+        )
+    )
+
+
 # ------------------------------------------------------------ frame sample
 def synth_video(key: int) -> bytes:
     """Deterministic multi-frame blob (video stand-in): ``SVID`` magic +
@@ -302,6 +389,7 @@ QUERIES = {
     "images_thumbnail": images_thumbnail,
     "image_embed": image_embed,
     "image_ann_topk": image_ann_topk,
+    "images_near_dup_keepers": images_near_dup_keepers,
     "frames_sample": frames_sample,
 }
 

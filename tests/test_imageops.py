@@ -125,6 +125,89 @@ def test_frames_sample_spark_stage(spark):
     assert (per_doc["sampled"] == expect).all()
 
 
+def test_images_near_dup_keepers_parity(spark):
+    """Keeper map matches a direct single-process recomputation: same
+    signature relation (injected twins included), brute-force Hamming
+    pairs at tau=2, same min-neighbor reduction — and the injected
+    twins guarantee the compared sets are NON-empty."""
+    from crawlspark.ops.imageops import (
+        _TWIN_EVERY,
+        _TWIN_OFFSET,
+        images_near_dup_keepers,
+        thumb_signatures,
+    )
+
+    thumbs = thumb_signatures(spark, SF, twin_every=_TWIN_EVERY).toPandas()
+
+    def ham(a: int, b: int) -> int:
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    rows = list(thumbs.itertuples(index=False))
+    edges = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if ham(rows[i].thumb_phash, rows[j].thumb_phash) <= 2:
+                a, b = int(rows[i].doc_id), int(rows[j].doc_id)
+                edges.setdefault(a, []).append(b)
+                edges.setdefault(b, []).append(a)
+    want = {
+        v: (min(v, min(os_)), len(os_)) for v, os_ in edges.items()
+    }
+    got = {
+        int(r.doc_id): (int(r.keeper_id), int(r.n_dups))
+        for r in images_near_dup_keepers(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0, "twin injection should produce clusters"
+    # every injected twin must cluster back to (at least) its original
+    twins = {d for d in thumbs["doc_id"] if d >= _TWIN_OFFSET}
+    clustered = {t for t in twins if t in got and got[t][0] == t - _TWIN_OFFSET}
+    assert len(clustered) >= 0.9 * len(twins), (len(clustered), len(twins))
+
+
+def test_keeper_map_clusters(spark):
+    """Keeper reduction on constructed clusters: {1,2,3} all pairwise
+    duplicates, {7,9} a pair, 5 a singleton (absent from output)."""
+    from crawlspark.ops.imageops import keeper_map
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (7, 9)], "left_id long, right_id long"
+    )
+    got = {
+        int(r.doc_id): (int(r.keeper_id), int(r.n_dups))
+        for r in keeper_map(pairs, "doc_id").collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 2), 3: (1, 2), 7: (7, 1), 9: (7, 1)}
+
+
+def test_near_dup_perturbed_thumbnail_cluster(spark):
+    """A perturbed copy of an image clusters with its original through
+    the REAL composite path (thumbnail resize -> pHash -> banded join
+    -> keeper map) when fed the decoded pixels directly."""
+    from crawlspark.ops.dedup import hamming_near_dup, split_phash64
+    from crawlspark.ops.imageops import keeper_map
+
+    base = codec.pixels_for(2024, 128, 128)
+    rng = np.random.default_rng(11)
+    near = np.clip(
+        base.astype(np.int32) + rng.integers(-2, 3, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    other = codec.pixels_for(555555, 128, 128)
+    rows = [
+        (0, codec.phash(resize_area(base, 32, 32))),
+        (1, codec.phash(resize_area(near, 32, 32))),
+        (2, codec.phash(resize_area(other, 32, 32))),
+    ]
+    sig = split_phash64(
+        spark.createDataFrame(rows, "doc_id long, thumb_phash long"), "thumb_phash"
+    )
+    pairs = hamming_near_dup(sig, "doc_id", "phash_lo", "phash_hi", tau=2)
+    got = {
+        int(r.doc_id): int(r.keeper_id) for r in keeper_map(pairs, "doc_id").collect()
+    }
+    assert got == {0: 0, 1: 0}
+
+
 def test_image_ann_topk_spark(spark):
     out = image_ann_topk(spark, SF).toPandas()
     qids = sorted(out["qid"].unique())

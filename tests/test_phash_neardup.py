@@ -44,6 +44,42 @@ def test_real_phash_near_dup_pairs(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_hamming_banding_exact_vs_bruteforce(spark):
+    """Pigeonhole exactness for every supported band count: banded
+    candidates must recover EXACTLY the brute-force pair set whenever
+    tau <= n_bands - 1, over adversarial hashes clustered near each
+    other (many pairs straddle the threshold)."""
+    rng = np.random.default_rng(42)
+    base = int(rng.integers(0, 1 << 63))
+    vals = []
+    for i in range(60):
+        v = base
+        for bit in rng.choice(64, size=int(rng.integers(0, 10)), replace=False):
+            v ^= 1 << int(bit)
+        vals.append((i, v - (1 << 64) if v >= 1 << 63 else v))
+    df = split_phash64(
+        spark.createDataFrame(vals, "image_id int, phash long"), "phash"
+    )
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for tau, n_bands in [(3, None), (7, None), (7, 16), (12, 16), (15, None)]:
+        got = {
+            (r.left_id, r.right_id, r.hamming)
+            for r in hamming_near_dup(
+                df, "image_id", "phash_lo", "phash_hi", tau=tau, n_bands=n_bands
+            ).collect()
+        }
+        want = {
+            (i, j, ham(a, b))
+            for i, a in vals
+            for j, b in vals
+            if i < j and ham(a, b) <= tau
+        }
+        assert got == want, f"tau={tau} n_bands={n_bands}: {len(got)} vs {len(want)}"
+
+
 def test_split_phash64_roundtrip(spark):
     vals = [0, -1, 1, -(1 << 63), (1 << 63) - 1, 0x0123456789ABCDEF, -0x0123456789ABCDEF]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, phash long")
