@@ -220,7 +220,14 @@ def hamming_near_dup(
     the smallest band count that keeps that guarantee (tau+1, rounded
     up to a divisor of 32 so no band spans the lo/hi boundary: 4, 8,
     16 or 32 bands of 16/8/4/2 bits). More bands = more candidate rows
-    but smaller buckets; for tau <= 3 the classic 4x16-bit layout wins."""
+    but smaller buckets; for tau <= 3 the classic 4x16-bit layout wins.
+
+    Scale note: band width w gives 2^w distinct buckets, so expected
+    bucket size is n/2^w and the per-band self-join costs ~n^2/2^w
+    comparisons. At 16-bit bands (tau<=3) that is n^2/65536 — fine at
+    10^10 with the (band,bucket)-keyed shuffle; at 2-bit bands
+    (tau>15) banding degenerates toward a cross join. Perceptual-hash
+    near-dup thresholds in practice are tau<=10 (<=16 bands)."""
     if n_bands is None:
         n_bands = next(nb for nb in (4, 8, 16, 32) if nb - 1 >= tau or nb == 32)
     assert n_bands in (4, 8, 16, 32), "band width must divide 32"
