@@ -136,6 +136,7 @@ def _registry():
         "image_embed",
         "image_ann_topk",
         "images_near_dup_keepers",
+        "image_quality",
         "frames_sample",
     ]
     for name in tail:

@@ -305,6 +305,80 @@ def keeper_map(pairs, id_col: str):
     )
 
 
+# ------------------------------------------------------------ image quality
+def quality_stats(px) -> dict:
+    """Training-data curation stats for one decoded image, all
+    vectorized: Shannon entropy of the gray histogram (bits), Laplacian
+    variance (the classic sharpness/blur score), RMS contrast. A solid
+    color scores 0 on all three."""
+    import numpy as np
+
+    gray = px.astype(np.float64).mean(axis=-1)
+    hist = np.bincount(
+        np.clip(np.rint(gray), 0, 255).astype(np.int64).ravel(), minlength=256
+    )
+    p = hist[hist > 0] / gray.size
+    entropy = float(-(p * np.log2(p)).sum())
+    lap = (
+        -4.0 * gray[1:-1, 1:-1]
+        + gray[:-2, 1:-1]
+        + gray[2:, 1:-1]
+        + gray[1:-1, :-2]
+        + gray[1:-1, 2:]
+    )
+    return {
+        "entropy": round(entropy, 4),
+        "laplacian_var": round(float(lap.var()), 4),
+        "contrast": round(float(gray.std()), 4),
+    }
+
+
+QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("entropy", T.DoubleType(), False),
+        T.StructField("laplacian_var", T.DoubleType(), False),
+        T.StructField("contrast", T.DoubleType(), False),
+        T.StructField("is_lowq", T.BooleanType(), False),
+    ]
+)
+
+_MIN_ENTROPY = 1.0  # near-solid / synthetic filler
+_MIN_LAP_VAR = 25.0  # blur: Laplacian variance below this = soft image
+
+
+def image_quality(spark, sf):
+    """Per-image curation scores + the low-quality flag a 100 TB
+    pipeline filters on before paying for captioning/embedding. One
+    shuffle-free Arrow stage; thresholds are the standard
+    entropy/blur-variance heuristics (public Laplacian-variance focus
+    measure), applied identically everywhere so the flag is
+    deterministic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _ensure_repo_path()
+        from crawlspark.codec import decode, synth_image
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                img = synth_image(url)
+                q = quality_stats(decode(img["bytes"], img["fmt"]))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        **q,
+                        "is_lowq": q["entropy"] < _MIN_ENTROPY
+                        or q["laplacian_var"] < _MIN_LAP_VAR,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in QUALITY_SCHEMA.fields])
+
+    return _doc_urls(spark, sf).mapInPandas(run, QUALITY_SCHEMA)
+
+
 # ------------------------------------------------------------ frame sample
 def synth_video(key: int) -> bytes:
     """Deterministic multi-frame blob (video stand-in): ``SVID`` magic +
@@ -390,6 +464,7 @@ QUERIES = {
     "image_embed": image_embed,
     "image_ann_topk": image_ann_topk,
     "images_near_dup_keepers": images_near_dup_keepers,
+    "image_quality": image_quality,
     "frames_sample": frames_sample,
 }
 

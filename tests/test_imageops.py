@@ -77,6 +77,43 @@ def test_embed_unit_norm_and_noise_robust():
     assert cos_other < cos, "unrelated image as close as a perturbed copy"
 
 
+# ----------------------------------------------------------- image quality
+def test_quality_stats_solid_vs_textured():
+    from crawlspark.ops.imageops import quality_stats
+
+    solid = quality_stats(np.full((64, 64, 3), 99, dtype=np.uint8))
+    assert solid["entropy"] == 0.0
+    assert solid["laplacian_var"] == 0.0
+    assert solid["contrast"] == 0.0
+    textured = quality_stats(codec.pixels_for(31337, 64, 64))
+    assert textured["entropy"] > 4.0
+    assert textured["laplacian_var"] > 25.0
+    assert textured["contrast"] > 10.0
+
+
+def test_quality_blur_detects_smoothing():
+    """Box-blurring an image must strictly reduce the Laplacian
+    variance (the focus measure's defining property)."""
+    from crawlspark.ops.imageops import quality_stats
+
+    px = codec.pixels_for(2718, 64, 64)
+    # 4x4 box blur via the exact area-resize down/up
+    blurred = resize_area(resize_area(px, 16, 16), 64, 64)
+    sharp = quality_stats(px)["laplacian_var"]
+    soft = quality_stats(blurred)["laplacian_var"]
+    assert soft < sharp * 0.5, (sharp, soft)
+
+
+def test_image_quality_spark_stage(spark):
+    from crawlspark.ops.imageops import image_quality
+
+    out = image_quality(spark, SF).toPandas()
+    assert len(out) > 0
+    # codec images are textured interference patterns: none are low-q
+    assert not out["is_lowq"].any()
+    assert (out["entropy"] > 0).all()
+
+
 # ------------------------------------------------------------- video blobs
 def test_synth_video_roundtrip():
     key = py_h60("https://h1.example.com/img/7")
