@@ -157,6 +157,12 @@ def embed_pixels(px):
     n = float(np.sqrt((v * v).sum()))
     if n > 0:
         v = v / n
+    else:
+        # solid-color image: zero vector would make every cosine 0/0
+        # (NaN scores, nondeterministic ranks downstream) — map all
+        # solids to a fixed basis direction instead.
+        v = np.zeros(_EMBED_GRID * _EMBED_GRID)
+        v[0] = 1.0
     return v.astype(np.float32)
 
 
@@ -194,7 +200,11 @@ def image_embed(spark, sf):
     return emb.select(
         "doc_id",
         F.array_join(
-            F.transform("embedding", lambda x: F.format_number(x.cast("double"), 4)), ","
+            # format_string, NOT format_number: the latter inserts
+            # thousands-separator commas for |x|>=1000 — the same char
+            # as the join delimiter (safe today only because embeddings
+            # are unit-normalized; don't rely on it).
+            F.transform("embedding", lambda x: F.format_string("%.4f", x.cast("double"))), ","
         ).alias("emb_csv"),
     )
 
@@ -219,7 +229,10 @@ def image_ann_topk(spark, sf):
 
 # --------------------------------------------------- image near-dup keepers
 _TWIN_EVERY = 10
-_TWIN_OFFSET = 1_000_000
+# high-bit offset so twin ids can never collide with real doc_ids (doc
+# counts scale with sf — 1e6 would overlap once the corpus passes 1e6
+# rows); thumb_signatures asserts doc_id < _TWIN_OFFSET per batch.
+_TWIN_OFFSET = 1 << 40
 
 SIG_SCHEMA = T.StructType(
     [
@@ -248,6 +261,7 @@ def thumb_signatures(spark, sf, twin_every: int = 0):
                 continue
             rows = []
             for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+                assert int(doc_id) < _TWIN_OFFSET, "doc_id overlaps twin-id space"
                 img = synth_image(url)
                 px = decode(img["bytes"], img["fmt"])
                 rows.append(

@@ -77,6 +77,14 @@ def test_embed_unit_norm_and_noise_robust():
     assert cos_other < cos, "unrelated image as close as a perturbed copy"
 
 
+def test_embed_solid_color_unit_norm():
+    # a constant image must NOT produce a zero vector (NaN cosines):
+    # all solids map to a fixed basis direction, still unit-norm.
+    v = embed_pixels(np.full((64, 64, 3), 42, dtype=np.uint8))
+    assert abs(float((v.astype(np.float64) ** 2).sum()) - 1.0) < 1e-6
+    assert v[0] == 1.0 and not np.isnan(v).any()
+
+
 # ----------------------------------------------------------- image quality
 def test_quality_stats_solid_vs_textured():
     from crawlspark.ops.imageops import quality_stats
