@@ -152,11 +152,76 @@ SELECT doc_id, source, tf FROM (
 """
 
 
+# --- geo bounding-box + distance (geo_point mapping) -------------------
+# The reference maps Contentful `Location` fields to an ES `geo_point`
+# (MappingGenerator.java:82-91) — the one §1.2 type with no analogue
+# here until now. The reference performs no geo computation itself, so
+# this closes the TYPE mapping with the two standard queries a
+# geo_point index serves: bounding-box filter and haversine distance.
+# lat/lon derive deterministically from doc_id like the other fixture
+# columns; the Spark side materializes them as a (lat, lon) STRUCT —
+# the geo_point shape — and filters/projects through the struct. At
+# 100 TB this is one pushdown-pruned scan; a real deployment would
+# range-partition or Z-order on (lat, lon) so the bbox prunes files.
+# explicit double casts: Spark parses the 100.0 literal as DECIMAL, and
+# bigint/decimal arithmetic would surface DECIMAL lat/lon to the gate
+_LAT_SPARK = "cast(pmod(doc_id * 7919, 18000) as double) / 100.0 - 90.0"
+_LON_SPARK = "cast(pmod(doc_id * 104729, 36000) as double) / 100.0 - 180.0"
+_LAT_DUCK = "(doc_id * 7919) % 18000 / 100.0 - 90.0"
+_LON_DUCK = "(doc_id * 104729) % 36000 / 100.0 - 180.0"
+_BBOX = (-25.0, 25.0, 10.0, 80.0)  # lat_min, lat_max, lon_min, lon_max
+_CENTER = (0.0, 45.0)  # haversine reference point (lat, lon)
+
+
+def _haversine(lat: str, lon: str, lat0: float, lon0: float) -> str:
+    """Great-circle km, IDENTICAL expression text for Spark and DuckDB
+    (both expose radians/sin/cos/asin/sqrt/pow with these semantics);
+    rounded to 3 decimals so the driver's 6-decimal float canon can
+    never straddle a libm 1-ulp difference."""
+    return (
+        f"round(2 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians(({lat}) - ({lat0})) / 2), 2) + "
+        f"cos(radians({lat})) * cos(radians({lat0})) * "
+        f"pow(sin(radians(({lon}) - ({lon0})) / 2), 2))), 3)"
+    )
+
+
+def geo_bbox_filter(spark, sf):
+    lat0, lon0 = _CENTER
+    docs = load(spark, sf, "documents").withColumn(
+        "location",
+        F.struct(
+            F.expr(_LAT_SPARK).alias("lat"), F.expr(_LON_SPARK).alias("lon")
+        ),
+    )
+    return docs.filter(
+        F.col("location.lat").between(_BBOX[0], _BBOX[1])
+        & F.col("location.lon").between(_BBOX[2], _BBOX[3])
+    ).select(
+        "doc_id",
+        F.col("location.lat").alias("lat"),
+        F.col("location.lon").alias("lon"),
+        F.expr(_haversine("location.lat", "location.lon", lat0, lon0)).alias(
+            "dist_km"
+        ),
+    )
+
+
+GEO_BBOX_SQL = f"""
+SELECT doc_id, lat, lon,
+       {_haversine("lat", "lon", _CENTER[0], _CENTER[1])} AS dist_km
+FROM (SELECT doc_id, {_LAT_DUCK} AS lat, {_LON_DUCK} AS lon FROM documents)
+WHERE lat BETWEEN {_BBOX[0]} AND {_BBOX[1]}
+  AND lon BETWEEN {_BBOX[2]} AND {_BBOX[3]}
+"""
+
+
 QUERIES = {
     "date_range_created": date_range_created,
     "title_prefix_suggest": title_prefix_suggest,
     "nested_author_filter": nested_author_filter,
     "match_bool_query": match_bool_query,
+    "geo_bbox_filter": geo_bbox_filter,
 }
 
 ORACLES = {
@@ -164,4 +229,5 @@ ORACLES = {
     "title_prefix_suggest": PREFIX_SQL,
     "nested_author_filter": NESTED_AUTHOR_SQL,
     "match_bool_query": MATCH_BOOL_SQL,
+    "geo_bbox_filter": GEO_BBOX_SQL,
 }

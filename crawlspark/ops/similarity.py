@@ -458,18 +458,29 @@ SELECT qid, rank, nid, hamming FROM (
 """
 
 
+# phash_hamming_topk and embedding_lsh_buckets are RETIRED from the
+# driver registry in round 4 so the 50-row gate window holds every
+# oracle-backed gate (r3 VERDICT "Next round" #2): the bucket
+# assignments of embedding_lsh_buckets cannot diverge while lsh_ann_topk
+# (which joins through those buckets) passes, and it was the slowest
+# gate by 2x (~11 s at sf0.01); phash_hamming_topk shares its signature
+# CTE with the recorded phash_hamming_near_dup and simhash gates, and
+# its window/tie-break ranking logic stays externally verified by
+# tests/test_retired_gates.py against the same DuckDB oracle.
 QUERIES = {
     "cosine_topk": cosine_topk,
-    "phash_hamming_topk": phash_hamming_topk,
-    "embedding_lsh_buckets": embedding_lsh_buckets,
     "lsh_ann_topk": lsh_ann_topk,
     "ivf_ann_topk": ivf_ann_topk,
 }
 
 ORACLES = {
     "cosine_topk": COSINE_SQL,
-    "phash_hamming_topk": _hamming_topk_sql(),
-    "embedding_lsh_buckets": LSH_SQL,
     "lsh_ann_topk": LSH_ANN_SQL,
     "ivf_ann_topk": IVF_ANN_SQL,
+}
+
+# oracles for the retired gates, kept for tests/test_retired_gates.py
+RETIRED_ORACLES = {
+    "phash_hamming_topk": _hamming_topk_sql(),
+    "embedding_lsh_buckets": LSH_SQL,
 }
