@@ -188,12 +188,36 @@ def phash(px: np.ndarray) -> int:
 
 
 # ------------------------------------------------- one-call synth fetch
+_MIRROR_PREFIX = "mirror."
+
+
 def synth_image(url: str) -> dict:
     """Full deterministic 'fetch' of one URL (used by the golden oracle
-    and by the vectorized fetch stage, which calls it per Arrow batch)."""
-    key = py_h60(url)
+    and by the vectorized fetch stage, which calls it per Arrow batch).
+
+    Mirror hosts model the near-duplicates a real crawl encounters when
+    an asset is re-hosted/re-encoded by a mirror or CDN:
+    ``https://mirror.<host>/<path>`` serves a deterministic ±2-per-pixel
+    perturbation of the primary host's image (same dims, same format) —
+    the image its DCT pHash lands within a bit or two of, which is
+    exactly what CrawlEngine.publish_dedup flags. Non-mirror URLs are
+    bit-for-bit unaffected."""
+    base_url = url
+    scheme, rest = url.split("://", 1)
+    is_mirror = rest.startswith(_MIRROR_PREFIX)
+    if is_mirror:
+        base_url = scheme + "://" + rest[len(_MIRROR_PREFIX):]
+    key = py_h60(base_url)
     w, h, fmt = dims_for(key)
     px = pixels_for(key, w, h)
+    if is_mirror:
+        rng = np.random.default_rng(py_h60(url) & 0xFFFFFFFF)
+        px = np.clip(
+            px.astype(np.int16)
+            + rng.integers(-2, 3, size=px.shape, dtype=np.int16),
+            0,
+            255,
+        ).astype(np.uint8)
     data = encode(px, fmt)
     return {
         "bytes": data,

@@ -103,6 +103,14 @@ IMAGES_SCHEMA = T.StructType(
         T.StructField("round_id", T.IntegerType(), False),
     ]
 )
+IMAGE_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("keeper_id", T.StringType(), False),
+        T.StructField("n_dups", T.LongType(), False),
+        T.StructField("is_dup", T.BooleanType(), False),
+    ]
+)
 
 
 class _DictAccum:
@@ -176,6 +184,15 @@ class CrawlEngine:
             write_options={"compression": "uncompressed"},
         )
         self.fetch_log = SnapTable(os.path.join(workdir, "fetch_log"))
+        # image near-dup keeper map (publish_dedup): a DERIVED product
+        # over the append-only images table, MERGE-maintained by
+        # image_id. Deliberately OUTSIDE the round manifest — a publish
+        # is idempotent (recomputing over the same images table yields
+        # the same map), so crash recovery needs no rollback hook; a
+        # resume that rolled images back simply re-publishes.
+        self.image_dedup = BucketedTable(
+            os.path.join(workdir, "image_dedup"), frontier_buckets
+        )
         self.cuckoo = CuckooSeen(os.path.join(workdir, "cuckoo"), n_pg=cuckoo_pg)
         self.state_dir = os.path.join(workdir, "state")
         # speculative next-round selection (pending/denied/selected
@@ -188,6 +205,7 @@ class CrawlEngine:
             (self.seen, SEEN_SCHEMA),
             (self.images, IMAGES_SCHEMA),
             (self.fetch_log, LOG_SCHEMA),
+            (self.image_dedup, IMAGE_DEDUP_SCHEMA),
         ):
             if not t.exists():
                 t.commit_empty(schema)
@@ -346,6 +364,16 @@ class CrawlEngine:
                 F.col("round_id") > self._cuckoo_upto
             ).select("url")
             new, maybe = self.cuckoo.split_candidates(outl, "url")
+            if os.environ.get("CRAWLSPARK_CUCKOO_STATS") == "1":
+                # profiling only (two extra count jobs per round):
+                # definitely-new rows skip the full-seen anti-join and
+                # are checked only against the small recent slice —
+                # the pre-filter's work saving, quantified for NOTES.md
+                print(
+                    f"[cuckoo] definitely_new={new.count()} "
+                    f"maybe_seen={maybe.count()}",
+                    flush=True,
+                )
             return new.join(recent, "url", "left_anti").unionByName(
                 maybe.join(seen_urls, "url", "left_anti")
             )
@@ -830,3 +858,66 @@ class CrawlEngine:
         # otherwise leak its caches for the life of the session
         self._discard_presel()
         return results
+
+    # ---------------------------------------------------- dedup publish
+    # tau=7: a re-encoded copy (lossy quantization + ±2 pixel noise)
+    # moves the 64-bit DCT pHash by up to ~6 bits (measured over 300
+    # mirror twins — median-adjacent DCT coefficients flip under any
+    # noise), while unrelated images sit ~32 bits apart; 7 is also the
+    # classic pHash dup threshold. Banding stays EXACT (8 bands of 8
+    # bits, pigeonhole) — see ops/dedup.hamming_near_dup's scale note.
+    def publish_dedup(self, tau: int = 7) -> dict:
+        """Post-crawl image near-dup publish: flag re-hosted/re-encoded
+        copies in the crawled images table (r3 VERDICT "Next round" #5 —
+        the training-data dedup product maintained with the reference's
+        A5 upsert semantics, ContentfulCrawler.java upsert-by-_id).
+
+        The banded Hamming keeper map runs over the images table's
+        STORED phash column — the fetch stage already computed the DCT
+        pHash per image, so this is one scan of (image_id, phash) plus
+        the (band,bucket)-keyed self-join from ops/dedup.py; NO image is
+        re-decoded. The keeper map (ops/imageops.keeper_map: every id
+        with a duplicate keeps min(self, min neighbor) — one shuffle, no
+        iterative connected components) is MERGE-upserted by image_id
+        into the image_dedup side table: (image_id, keeper_id, n_dups,
+        is_dup). Images without a near-duplicate have NO row — the
+        common case at crawl scale, so the table is O(duplicates), not
+        O(images); consumers LEFT JOIN and coalesce(is_dup, false).
+
+        Scale: the dedup product is append-monotone (images is
+        append-only, so pairs never disappear), the MERGE rewrites only
+        the buckets holding newly flagged ids, and re-publishing after
+        more rounds is idempotent for unchanged ids. At 10^10 images an
+        incremental variant would band only the new rounds' signatures
+        against the full signature table; the full-scan variant here is
+        already one pass over two BIGINT-ish columns.
+        """
+        from .ops.dedup import hamming_near_dup, split_phash64
+        from .ops.imageops import keeper_map
+
+        sig = split_phash64(
+            self.images.read(self.spark).select("image_id", "phash"), "phash"
+        ).cache()
+        pairs = hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=tau)
+        km = (
+            keeper_map(pairs, "image_id")
+            .withColumn("is_dup", F.col("image_id") != F.col("keeper_id"))
+            .select("image_id", "keeper_id", "n_dups", "is_dup")
+        )
+        self.image_dedup.merge(
+            km,
+            ["image_id"],
+            F.pmod(h60(F.col("image_id")), F.lit(self.frontier_buckets)).cast("int"),
+        )
+        sig.unpersist()
+        if self.snapshot_gc:
+            self.image_dedup.expire()
+        row = (
+            self.image_dedup.read(self.spark)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("is_dup").cast("int")).alias("dups"),
+            )
+            .collect()[0]
+        )
+        return {"rows": int(row["rows"]), "dup_images": int(row["dups"] or 0)}
