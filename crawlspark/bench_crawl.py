@@ -99,7 +99,16 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
         fair_jobs=True,
     )
     shutil.rmtree(workdir, ignore_errors=True)
-    eng = CrawlEngine(spark, workdir, cfg, politeness_pdf=pol, use_cuckoo=True)
+    # CRAWLSPARK_BENCH_CUCKOO=0 disables the cuckoo URL-seen pre-filter
+    # (A/B knob; correctness is unaffected either way — the filter only
+    # routes rows between the exact anti-join and the recent-slice join)
+    eng = CrawlEngine(
+        spark,
+        workdir,
+        cfg,
+        politeness_pdf=pol,
+        use_cuckoo=os.environ.get("CRAWLSPARK_BENCH_CUCKOO", "1") == "1",
+    )
     eng.add_seeds(spark.createDataFrame(seeds))
     t0 = time.time()
     results = eng.run(max_rounds=40)
