@@ -341,20 +341,21 @@ def _cell_assign(emb, centroids):
     )
 
 
-def ivf_ann_topk(spark, sf):
-    emb = load_spread(spark, sf, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
-    )
+def ivf_topk(emb, centroids, n_queries: int | None = None, n_probe: int = _N_PROBE):
+    """IVF-flat search given a (cell, cv) centroid set: broadcast
+    arg-min assignment, n_probe nearest cells per query, exact scoring
+    only within probed cells. Shared by the gate (deterministic
+    first-_N_CELLS centroids, oracle-mirrored) and the production
+    k-means path (ivf_kmeans_centroids)."""
     assign = _cell_assign(emb, centroids)
-    # query probes: the _N_PROBE nearest cells per query vector
+    # query probes: the n_probe nearest cells per query vector
     qd = F.round(_sq_dist(F.col("embedding"), F.col("cv")), 6)
     probes = (
-        emb.filter(F.col("vec_id") < _N_QUERIES * 10)
+        emb.filter(F.col("vec_id") < (n_queries or _N_QUERIES * 10))
         .crossJoin(F.broadcast(centroids))
         .select(F.col("vec_id").alias("qid"), "cell", qd.alias("d"))
         .withColumn("pr", F.row_number().over(Window.partitionBy("qid").orderBy("d", "cell")))
-        .filter(F.col("pr") <= _N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("qid", "cell")
     )
     cand = probes.join(
@@ -364,6 +365,62 @@ def ivf_ann_topk(spark, sf):
     nl = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
     joined = cand.join(ql, "qid").join(nl, "nid")
     return _score_topk(joined)
+
+
+def ivf_kmeans_centroids(
+    spark, emb, n_cells: int = _N_CELLS, iters: int = 2, sample_per_cell: int = 64
+):
+    """Production centroid seeding: Lloyd k-means over a BOUNDED
+    deterministic sample, run driver-side in numpy and broadcast back —
+    the standard coarse-quantizer training shape. The collect is
+    n_cells * sample_per_cell rows (KB-MB at ANY corpus size — never a
+    data-scale collect); init is the first n_cells sample vectors, and
+    empty cells keep their previous centroid so the cell count is
+    stable. The search plan (ivf_topk) is unchanged — only the
+    centroid quality improves, which is what keeps the n_probe
+    recall/cost dial honest on skewed/clustered corpora where
+    first-k seeding can drop most cells into one cluster."""
+    import numpy as np
+
+    n_sample = n_cells * sample_per_cell
+    rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(n_sample).collect()
+    )
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    # deterministic farthest-point (k-center) init: first sample vector,
+    # then greedily the sample point farthest from the chosen set — the
+    # derandomized k-means++ shape, which guarantees every well-separated
+    # cluster gets a centroid before Lloyd refinement starts
+    idx = [0]
+    d2 = ((x - x[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        nxt = int(d2.argmax())
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    cent = x[idx].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[a == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return spark.createDataFrame(
+        [(int(c), [float(v) for v in cent[c]]) for c in range(n_cells)],
+        schema="cell int, cv array<double>",
+    )
+
+
+def ivf_ann_topk(spark, sf):
+    emb = load_spread(spark, sf, "embeddings")
+    # gate centroids: the first _N_CELLS vectors — deterministic and
+    # expressible in the DuckDB oracle. Production seeding is
+    # ivf_kmeans_centroids (recall pinned by test_similarity.py on a
+    # clustered corpus); the search plan is identical either way.
+    centroids = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("embedding").alias("cv")
+    )
+    return ivf_topk(emb, centroids)
 
 
 _SQDIST_DUCK = (
