@@ -350,7 +350,12 @@ def embedding_near_dup(spark, sf):
     from .similarity import _bucket_entries, _cosine_fn
 
     emb = load_spread(spark, sf, "embeddings")
-    entries = _bucket_entries(emb)
+    # cached: the band self-join consumes the bucket relation on BOTH
+    # sides, and without a cache the Arrow bucket-hash pass runs twice.
+    # In production the buckets ARE a table (computed once per corpus),
+    # so one-pass semantics is also the honest scale model — same
+    # reasoning as phash_hamming_near_dup's cached signature relation.
+    entries = _bucket_entries(emb).cache()
     a, b = entries.alias("a"), entries.alias("b")
     cand = (
         a.join(b, ["tbl", "bucket"])
