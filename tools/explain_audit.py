@@ -37,6 +37,8 @@ AUDITED = [
     "nested_rename",
     "batch_grouping",
     "nested_author_filter",
+    "geo_bbox_filter",
+    "embedding_near_dup",
 ]
 
 CHECKS = {
