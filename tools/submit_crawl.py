@@ -117,7 +117,13 @@ def main() -> int:
         )
         budget_fn = lambda hostid: args.budget  # noqa: E731
     shutil.rmtree(args.workdir, ignore_errors=True)
-    eng = CrawlEngine(spark, args.workdir, cfg, politeness_pdf=pol, use_cuckoo=True)
+    # CRAWLSPARK_BENCH_CUCKOO=0 disables the cuckoo URL-seen pre-filter
+    # (A/B knob, same contract as crawlspark/bench_crawl.py; correctness
+    # is unaffected either way — golden equivalence holds in both modes)
+    use_cuckoo = os.environ.get("CRAWLSPARK_BENCH_CUCKOO", "1") == "1"
+    eng = CrawlEngine(
+        spark, args.workdir, cfg, politeness_pdf=pol, use_cuckoo=use_cuckoo
+    )
     eng.add_seeds(spark.createDataFrame(seeds))
     t0 = time.time()
     rounds = eng.run(max_rounds=40)
@@ -134,6 +140,7 @@ def main() -> int:
     out = {
         "master": master,
         "fault_free": fault_free,
+        "use_cuckoo": use_cuckoo,
         "executor_img_scale": exec_scale,
         "executors": spark.sparkContext.defaultParallelism,
         "n_seeds": args.n_seeds,
