@@ -99,15 +99,17 @@ def run(master: str, workdir: str, n_seeds: int, out_json: str) -> dict:
         fair_jobs=True,
     )
     shutil.rmtree(workdir, ignore_errors=True)
-    # CRAWLSPARK_BENCH_CUCKOO=0 disables the cuckoo URL-seen pre-filter
+    # CRAWLSPARK_BENCH_CUCKOO: 1 forces the cuckoo URL-seen pre-filter
+    # on, 0 forces it off, auto (default) = the engine's scale threshold
     # (A/B knob; correctness is unaffected either way — the filter only
     # routes rows between the exact anti-join and the recent-slice join)
+    _ck = os.environ.get("CRAWLSPARK_BENCH_CUCKOO", "auto")
     eng = CrawlEngine(
         spark,
         workdir,
         cfg,
         politeness_pdf=pol,
-        use_cuckoo=os.environ.get("CRAWLSPARK_BENCH_CUCKOO", "1") == "1",
+        use_cuckoo="auto" if _ck == "auto" else _ck == "1",
     )
     eng.add_seeds(spark.createDataFrame(seeds))
     t0 = time.time()

@@ -29,7 +29,10 @@ anti-join of the whole frontier against the seen set. The seen-set
 check (cuckoo pre-filter splitting definitely-new from maybe-seen,
 exact anti-join only for the maybe slice) runs every round on the NEW
 URL stream (outlinks) before it enters the frontier — the only place
-it is needed once the invariant holds. Per-URL reduce is associative
+it is needed once the invariant holds. The pre-filter itself is
+scale-gated (``use_cuckoo="auto"``): below ``cuckoo_auto_min`` seen
+rows the exact anti-join is cheaper than the filter machinery and the
+engine uses it alone (round-4 A/B in BENCH/NOTES.md). Per-URL reduce is associative
 (max over the (retry_count, -not_before, -depth) lattice), so the
 incremental merge is exactly equivalent to re-reducing the full
 append history. At 10^10 rows the pending and seen tables are
@@ -133,9 +136,10 @@ class CrawlEngine:
         cfg: SynthConfig,
         robots_pdf=None,
         politeness_pdf=None,
-        use_cuckoo: bool = True,
+        use_cuckoo: bool | str = "auto",
         cuckoo_pg: int = 32,
         cuckoo_every: int = 5,
+        cuckoo_auto_min: int | None = None,
         recrawl_after: int | None = None,
         snapshot_gc: bool = True,
         frontier_buckets: int = 32,
@@ -146,6 +150,19 @@ class CrawlEngine:
         self.workdir = workdir
         self.cfg = cfg
         self.use_cuckoo = use_cuckoo
+        # "auto" (default): engage the filter only once the seen table
+        # holds >= cuckoo_auto_min rows. Below that the exact anti-join
+        # is a cheap broadcast/shuffle and the filter machinery (Arrow
+        # membership pass + pg-delta maintenance) is pure overhead —
+        # measured ~20% of crawl wall at a 372k-row seen table
+        # (BENCH/NOTES.md round-4 A/B). Golden equivalence holds in both
+        # modes, so the flip is a pure cost decision.
+        self.cuckoo_auto_min = int(
+            cuckoo_auto_min
+            if cuckoo_auto_min is not None
+            else os.environ.get("CRAWLSPARK_CUCKOO_AUTO_MIN", "2000000")
+        )
+        self._seen_rows = 0  # incremental upper bound; manifest-persisted
         # cuckoo inserts are batched: the filter lags <= cuckoo_every
         # rounds behind, and the lag window is covered by an exact
         # anti-join against the (small) recent slice of url_seen
@@ -240,6 +257,7 @@ class CrawlEngine:
                 "cuckoo": self.cuckoo.table.current_snapshot_id(),
             },
             "cuckoo_upto": self._cuckoo_upto,
+            "seen_rows": self._seen_rows,
             "counters": counters,
             "lineage": lineage,
         }
@@ -273,6 +291,7 @@ class CrawlEngine:
         self.fetch_log.rollback(snaps["fetch_log"])
         self.cuckoo.table.rollback(snaps["cuckoo"])
         self._cuckoo_upto = m.get("cuckoo_upto", -1)
+        self._seen_rows = m.get("seen_rows", 0)
         return m["round_id"] + 1
 
     # ------------------------------------------------------------ seeds
@@ -354,12 +373,24 @@ class CrawlEngine:
             F.col("not_before") <= round_id
         )
 
+    @property
+    def cuckoo_on(self) -> bool:
+        """Whether the cuckoo pre-filter participates in THIS round.
+        True/False force it; "auto" engages it once the seen table
+        reaches cuckoo_auto_min rows. The flip is correctness-neutral:
+        the filter invariant (contains exactly seen[round <= upto],
+        everything newer covered by the exact recent-slice join) holds
+        for any flip point, including a mid-crawl or post-resume one."""
+        if self.use_cuckoo == "auto":
+            return self._seen_rows >= self.cuckoo_auto_min
+        return bool(self.use_cuckoo)
+
     def _unseen_outlinks(self, outl: DataFrame, seen_df: DataFrame) -> DataFrame:
         """Drop outlinks whose URL is already in the seen set: cuckoo
         pre-filter splits definitely-new (checked only against the
         small post-filter slice) from maybe-seen (exact anti-join)."""
         seen_urls = seen_df.select("url")
-        if self.use_cuckoo:
+        if self.cuckoo_on:
             recent = seen_df.filter(
                 F.col("round_id") > self._cuckoo_upto
             ).select("url")
@@ -678,6 +709,20 @@ class CrawlEngine:
             counters = self._make_counters(
                 round_id, stats, n_pending, n_denied, n_due, n_dirty, n_front_rows
             )
+            # seen-table growth this round (200s + permanent fails +
+            # robots-denied; retries stay in the frontier). Upper bound
+            # under recrawl MERGE (rewrites counted as appends) — fine
+            # for the auto-cuckoo threshold, which needs scale, not
+            # exactness. Updated BEFORE this round's filter maintenance
+            # so a threshold crossing folds the filter immediately.
+            retries_sched = sum(
+                int(stats[f"retry_rc{k}"] or 0) for k in range(self.cfg.max_retries)
+            )
+            self._seen_rows += (
+                counters["fetched"]
+                + (counters["failed_504"] - retries_sched)
+                + counters["denied"]
+            )
             if round_id + 1 in counters["future_rounds"]:
                 # SPECULATIVE NEXT-ROUND SELECTION: the frontier commit
                 # for round_id+1 just landed (f_front), and selection
@@ -712,7 +757,7 @@ class CrawlEngine:
 
         # batched cuckoo maintenance: fold the recent seen slice into the
         # filter every cuckoo_every rounds (round_id pushdown on the scan)
-        if self.use_cuckoo and round_id - self._cuckoo_upto >= self.cuckoo_every:
+        if self.cuckoo_on and round_id - self._cuckoo_upto >= self.cuckoo_every:
             recent = self.seen.read(self.spark).filter(
                 F.col("round_id") > self._cuckoo_upto
             )

@@ -117,10 +117,12 @@ def main() -> int:
         )
         budget_fn = lambda hostid: args.budget  # noqa: E731
     shutil.rmtree(args.workdir, ignore_errors=True)
-    # CRAWLSPARK_BENCH_CUCKOO=0 disables the cuckoo URL-seen pre-filter
+    # CRAWLSPARK_BENCH_CUCKOO: 1 forces the cuckoo URL-seen pre-filter
+    # on, 0 forces it off, auto (default) = the engine's scale threshold
     # (A/B knob, same contract as crawlspark/bench_crawl.py; correctness
     # is unaffected either way — golden equivalence holds in both modes)
-    use_cuckoo = os.environ.get("CRAWLSPARK_BENCH_CUCKOO", "1") == "1"
+    _ck = os.environ.get("CRAWLSPARK_BENCH_CUCKOO", "auto")
+    use_cuckoo = "auto" if _ck == "auto" else _ck == "1"
     eng = CrawlEngine(
         spark, args.workdir, cfg, politeness_pdf=pol, use_cuckoo=use_cuckoo
     )
