@@ -55,6 +55,48 @@ def test_recrawl_ttl(spark, tmp_path):
     )
 
 
+def test_recrawl_auto_cuckoo_equivalence(spark, tmp_path):
+    """Recrawl-MERGE mode with use_cuckoo='auto' (tiny threshold → the
+    filter engages mid-crawl while MERGE keeps inflating the seen-row
+    upper bound) produces exactly the exact-join crawl: the counter
+    being approximate under MERGE affects only WHEN the filter engages,
+    never what any round computes."""
+    cfg = SynthConfig(n_seeds=40, n_hosts=4, max_depth=1)
+    seeds = gen_seeds(cfg)
+    pol = pd.DataFrame(
+        {"host": [host_name(i) for i in range(1, 5)], "budget": [100] * 4}
+    )
+    outs = {}
+    for tag, use, amin in (("exact", False, None), ("auto", "auto", 30)):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / f"rcc-{tag}"),
+            cfg,
+            politeness_pdf=pol,
+            use_cuckoo=use,
+            cuckoo_pg=4,
+            cuckoo_auto_min=amin,
+            recrawl_after=3,
+        )
+        eng.add_seeds(spark.createDataFrame(seeds))
+        eng.run(max_rounds=8)
+        if tag == "auto":
+            assert eng.cuckoo_on, "threshold 30 should have engaged the filter"
+        outs[tag] = {
+            "log": eng.fetch_log.read(spark)
+            .toPandas()
+            .sort_values(["round_id", "host", "rank"])
+            .reset_index(drop=True),
+            "seen": eng.seen.read(spark)
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True),
+        }
+    assert len(outs["exact"]["log"]) > 0
+    pd.testing.assert_frame_equal(outs["exact"]["log"], outs["auto"]["log"])
+    pd.testing.assert_frame_equal(outs["exact"]["seen"], outs["auto"]["seen"])
+
+
 def test_snaptable_merge(spark, tmp_path):
     from crawlspark.snaptable import SnapTable
 
