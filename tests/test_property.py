@@ -29,39 +29,47 @@ from crawlspark.golden import simulate
 from crawlspark.synth import SynthConfig, gen_seeds, host_name
 
 CONFIGS = [
-    # (name, cfg, budget_fn) — budget_fn maps host id -> per-round budget
+    # (name, cfg, budget_fn, cuckoo_auto_min) — budget_fn maps host id ->
+    # per-round budget; cuckoo_auto_min is deliberately SMALL so every
+    # config crosses the auto-cuckoo threshold at a different round,
+    # fuzzing the filter's mid-crawl engage point across the space
     (
         "retry_stretch",  # depth 0, long backoff: retry rounds with gaps
         SynthConfig(n_seeds=120, n_hosts=6, max_depth=0, retry_backoff_step=2),
         lambda i: 7,
+        25,
     ),
     (
         "deep_expand",  # depth 2, immediate retries, small budgets
         SynthConfig(n_seeds=50, n_hosts=5, max_depth=2, retry_backoff_step=0),
         lambda i: 8,
+        40,
     ),
     (
         "burst",  # non-binding budgets: whole ripe frontier per round
         SynthConfig(n_seeds=150, n_hosts=8, max_depth=1, retry_backoff_step=1),
         lambda i: 1000,
+        160,
     ),
     (
         "hot_host",  # extreme Zipf heat on 3 hosts, alternate RNG seed
         SynthConfig(n_seeds=130, n_hosts=3, max_depth=1, retry_backoff_step=1, seed=7),
         lambda i: 9,
+        30,
     ),
     (
         "fault_free",  # steady-state bench mode: every fetch 200, no retry rounds
         SynthConfig(n_seeds=110, n_hosts=5, max_depth=1, fault_free=True),
         lambda i: 12,
+        60,
     ),
 ]
 
 
 @pytest.mark.parametrize(
-    "name,cfg,bf", CONFIGS, ids=[c[0] for c in CONFIGS]
+    "name,cfg,bf,amin", CONFIGS, ids=[c[0] for c in CONFIGS]
 )
-def test_golden_equivalence_config_space(spark, tmp_path, name, cfg, bf):
+def test_golden_equivalence_config_space(spark, tmp_path, name, cfg, bf, amin):
     seeds = gen_seeds(cfg)
     golden = simulate(list(seeds["url"]), cfg, budget_fn=bf)
     pol = pd.DataFrame(
@@ -76,6 +84,7 @@ def test_golden_equivalence_config_space(spark, tmp_path, name, cfg, bf):
         cfg,
         politeness_pdf=pol,
         cuckoo_pg=8,
+        cuckoo_auto_min=amin,
         frontier_buckets=8,
     )
     eng.add_seeds(spark.createDataFrame(seeds))
