@@ -56,3 +56,43 @@ def test_kill_resume_bit_identical(spark, tmp_path):
             ha = sorted(r[0] for r in a.selectExpr("md5(bytes)").collect())
             hb = sorted(r[0] for r in b.selectExpr("md5(bytes)").collect())
             assert ha == hb
+
+
+def test_resume_restores_auto_cuckoo_state(spark, tmp_path):
+    """The auto-cuckoo seen-row counter is manifest-persisted: a resumed
+    engine whose predecessor crossed the threshold must come back with
+    the filter already engaged (not silently restart from 0 and crawl
+    exact-only until the counter rebuilds)."""
+    cfg = SynthConfig(n_seeds=60, n_hosts=5, max_depth=1)
+    seeds = gen_seeds(cfg)
+    pol = pd.DataFrame(
+        {
+            "host": [host_name(i) for i in range(1, 6)],
+            "budget": [60 if i <= 2 else 30 for i in range(1, 6)],
+        }
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "ac"),
+        cfg,
+        politeness_pdf=pol,
+        cuckoo_pg=4,
+        cuckoo_auto_min=30,
+    )
+    eng.add_seeds(spark.createDataFrame(seeds))
+    eng.run(max_rounds=25, stop_after=3)
+    assert eng.cuckoo_on and eng._seen_rows >= 30
+
+    fresh = CrawlEngine(
+        spark,
+        str(tmp_path / "ac"),
+        cfg,
+        politeness_pdf=pol,
+        cuckoo_pg=4,
+        cuckoo_auto_min=30,
+    )
+    assert not fresh.cuckoo_on  # pre-resume: counter not yet loaded
+    fresh.resume()
+    assert fresh._seen_rows == eng._seen_rows
+    assert fresh._cuckoo_upto == eng._cuckoo_upto
+    assert fresh.cuckoo_on  # filter engaged immediately after resume
