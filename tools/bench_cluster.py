@@ -14,13 +14,15 @@ Appends pairs to BENCH/HISTORY_CLUSTER.jsonl, writes BENCH/CLUSTER.md,
 prints one JSON line.
 
 CRAWLSPARK_CLUSTER_SHAPE overrides the executor shape as
-"<n_execs>x<cores>:<4n_execs>x<cores>", e.g. "1x4:4x4" for 1 vs 4
-executor JVMs x 4 cores (4 vs 16 cores total). The default 2x4:8x4
-saturates all 32 hardware threads at the 4N level; the half-width
-shape leaves headroom under this box's full-width aggregate-load
-throttle, which is the honest stand-in for a real cluster where each
-executor owns its cores (no oversubscription). Executor-JVM count
-still scales 4x either way — the north rule's N vs 4N criterion.
+"<n_execs>x<cores>:<4n_execs>x<cores>". The default 1x4:4x4 (1 vs 4
+executor JVMs x 4 cores = 4 vs 16 cores total) matches bench.py: the
+half-width shape leaves headroom under this box's full-width
+aggregate-load throttle, the honest stand-in for a real cluster where
+each executor owns its cores (no oversubscription). The full-width
+2x4:8x4 saturates all 32 hardware threads at the 4N level and
+measures the box throttle as much as the engine (0.38-class pairs,
+BENCH/NOTES.md). Executor-JVM count still scales 4x either way — the
+north rule's N vs 4N criterion.
 """
 
 from __future__ import annotations
@@ -36,7 +38,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _shape() -> tuple[str, str]:
-    spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "2x4:8x4")
+    spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x4:4x4")
     lo, hi = spec.split(":")
     n_e, n_c = (int(v) for v in lo.split("x"))
     x_e, x_c = (int(v) for v in hi.split("x"))
@@ -101,7 +103,7 @@ def main() -> None:
                 # (those were all drain-mode)
                 "fault_free": bool(n.get("fault_free", False)),
                 # executor shape (absent in pre-shape rows = 2x4:8x4)
-                "shape": os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "2x4:8x4"),
+                "shape": os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x4:4x4"),
             }
         )
     hist = os.path.join(_REPO, "BENCH", "HISTORY_CLUSTER.jsonl")
