@@ -201,12 +201,18 @@ def synth_image(url: str) -> dict:
     perturbation of the primary host's image (same dims, same format) —
     the image its DCT pHash lands within a bit or two of, which is
     exactly what CrawlEngine.publish_dedup flags. Non-mirror URLs are
-    bit-for-bit unaffected."""
+    bit-for-bit unaffected. Stacked prefixes (``mirror.mirror.<host>``
+    — a CDN re-hosting another CDN's copy) strip all the way down: every
+    mirror in a chain serves its OWN ±2 perturbation of the same
+    primary image, so all chain members are mutual near-dups of the
+    primary, not of each other's noise."""
     base_url = url
     scheme, rest = url.split("://", 1)
     is_mirror = rest.startswith(_MIRROR_PREFIX)
+    while rest.startswith(_MIRROR_PREFIX):
+        rest = rest[len(_MIRROR_PREFIX):]
     if is_mirror:
-        base_url = scheme + "://" + rest[len(_MIRROR_PREFIX):]
+        base_url = scheme + "://" + rest
     key = py_h60(base_url)
     w, h, fmt = dims_for(key)
     px = pixels_for(key, w, h)

@@ -362,6 +362,22 @@ class CrawlEngine:
         self.frontier.replace_buckets(
             merged, list(range(self.frontier_buckets)), self._bucket()
         )
+        # Re-seeding after committed rounds: the bucket replace above is
+        # itself an atomic, durable snapshot commit, so advance the last
+        # round manifest's frontier pointer to it. Without this, the
+        # next run()'s resume() would roll the frontier back to the
+        # round-commit snapshot and silently discard the new seeds (they
+        # would be indistinguishable from a crashed round's partial
+        # writes); with it, a crash right after add_seeds resumes WITH
+        # the seeds — the correct durability semantics.
+        m = self.last_round()
+        if m is not None:
+            m["snapshots"]["frontier"] = self.frontier.current_snapshot_id()
+            p = os.path.join(self.state_dir, f"round-{m['round_id']:06d}.json")
+            tmp = p + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, p)
         self._discard_presel()  # frontier changed under any presel
 
     # ------------------------------------------------------------ round
@@ -779,9 +795,17 @@ class CrawlEngine:
             # everything a resume() can target is this round's manifest;
             # expire() always keeps each table's HEAD (== the snapshot
             # ids just committed), so older snapshots and any orphaned
-            # partial-round dirs are reclaimed here
-            for t in (self.frontier, self.seen, self.images, self.fetch_log):
+            # partial-round dirs are reclaimed here. The images table
+            # additionally keeps the last publish_dedup base snapshot
+            # (image_dedup meta) so a later publish can still diff
+            # incrementally instead of re-banding the whole table.
+            for t in (self.frontier, self.seen, self.fetch_log):
                 t.expire()
+            dm = self.image_dedup.current_manifest()
+            base = (dm.get("meta") or {}).get("images_snapshot") if dm else None
+            self.images.expire(
+                keep_snapshots=[int(base)] if base is not None else None
+            )
             self.cuckoo.table.expire()
         for df in (pending, denied, selected, outlinks, incoming) + (
             (due,) if due is not None else ()
@@ -911,7 +935,7 @@ class CrawlEngine:
     # noise), while unrelated images sit ~32 bits apart; 7 is also the
     # classic pHash dup threshold. Banding stays EXACT (8 bands of 8
     # bits, pigeonhole) — see ops/dedup.hamming_near_dup's scale note.
-    def publish_dedup(self, tau: int = 7) -> dict:
+    def publish_dedup(self, tau: int = 7, incremental: bool = True) -> dict:
         """Post-crawl image near-dup publish: flag re-hosted/re-encoded
         copies in the crawled images table (r3 VERDICT "Next round" #5 —
         the training-data dedup product maintained with the reference's
@@ -932,28 +956,99 @@ class CrawlEngine:
         Scale: the dedup product is append-monotone (images is
         append-only, so pairs never disappear), the MERGE rewrites only
         the buckets holding newly flagged ids, and re-publishing after
-        more rounds is idempotent for unchanged ids. At 10^10 images an
-        incremental variant would band only the new rounds' signatures
-        against the full signature table; the full-scan variant here is
-        already one pass over two BIGINT-ish columns.
+        more rounds is idempotent for unchanged ids.
+
+        INCREMENTAL (default): the base images snapshot of the previous
+        publish is recorded in the image_dedup manifest meta
+        (``images_snapshot``); this publish reads only the rows appended
+        since (SnapTable.read_incremental), bands the delta against the
+        full signature table (delta × full, never full × full), and
+        folds the new pairs into the stored keeper state exactly:
+        keeper' = min(stored keeper, min new neighbor), n_dups' =
+        stored + new-neighbor count — valid precisely because the
+        corpus is append-only so pairs(full) = pairs(old) ∪ pairs(new).
+        Cost is O(delta · n/2^w + affected buckets), not O(n²/2^w): the
+        10^10-image re-publish touches one round's images, not the
+        table. Any history that breaks the identity (rollback, expired
+        base snapshot, a rewrite of the images table) raises inside
+        read_incremental and falls back to the full recompute, which is
+        always correct.
         """
-        from .ops.dedup import hamming_near_dup, split_phash64
+        from .ops.dedup import hamming_near_dup, hamming_near_dup_delta, split_phash64
         from .ops.imageops import keeper_map
 
-        sig = split_phash64(
-            self.images.read(self.spark).select("image_id", "phash"), "phash"
-        ).cache()
-        pairs = hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=tau)
-        km = (
-            keeper_map(pairs, "image_id")
-            .withColumn("is_dup", F.col("image_id") != F.col("keeper_id"))
-            .select("image_id", "keeper_id", "n_dups", "is_dup")
-        )
+        images_sid = self.images.current_snapshot_id()
+        bucket_expr = F.pmod(
+            h60(F.col("image_id")), F.lit(self.frontier_buckets)
+        ).cast("int")
+        cur_m = self.image_dedup.current_manifest()
+        cur_meta = dict((cur_m.get("meta") or {})) if cur_m else {}
+        base_sid = cur_meta.get("images_snapshot")
+        mode, delta = "full", None
+        if incremental and base_sid is not None:
+            try:
+                delta = self.images.read_incremental(self.spark, int(base_sid))
+                mode = "incremental"
+            except ValueError:
+                pass  # non-append history or expired base → full recompute
+
+        if mode == "incremental":
+            delta_sig = split_phash64(
+                delta.select("image_id", "phash"), "phash"
+            ).cache()
+            full_sig = split_phash64(
+                self.images.read(self.spark).select("image_id", "phash"), "phash"
+            )
+            pairs = hamming_near_dup_delta(
+                delta_sig, full_sig, "image_id", "phash_lo", "phash_hi", tau=tau
+            )
+            # per affected id: its NEW neighbors only — fold into the
+            # stored keeper rows (read from the affected buckets alone)
+            km_new = keeper_map(pairs, "image_id").cache()
+            affected = sorted(
+                int(r["b"])
+                for r in km_new.select(bucket_expr.alias("b")).distinct().collect()
+            )
+            old = self.image_dedup.read_buckets(self.spark, affected).select(
+                "image_id",
+                F.col("keeper_id").alias("_old_keeper"),
+                F.col("n_dups").alias("_old_n"),
+            )
+            km = km_new.join(old, "image_id", "left").select(
+                "image_id",
+                F.least(
+                    F.col("keeper_id"),
+                    F.coalesce(F.col("_old_keeper"), F.col("image_id")),
+                ).alias("keeper_id"),
+                (F.col("n_dups") + F.coalesce(F.col("_old_n"), F.lit(0))).alias(
+                    "n_dups"
+                ),
+            )
+            sig = delta_sig
+        else:
+            sig = split_phash64(
+                self.images.read(self.spark).select("image_id", "phash"), "phash"
+            ).cache()
+            pairs = hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=tau)
+            km = keeper_map(pairs, "image_id")
+        km = km.withColumn(
+            "is_dup", F.col("image_id") != F.col("keeper_id")
+        ).select("image_id", "keeper_id", "n_dups", "is_dup")
         self.image_dedup.merge(
-            km,
-            ["image_id"],
-            F.pmod(h60(F.col("image_id")), F.lit(self.frontier_buckets)).cast("int"),
+            km, ["image_id"], bucket_expr, meta={"images_snapshot": images_sid}
         )
+        # a publish with no new pairs commits nothing in merge(); still
+        # advance the recorded base so the next publish diffs from here
+        head = self.image_dedup.current_manifest()
+        if head is not None and head.get("meta", {}).get("images_snapshot") != images_sid:
+            self.image_dedup.commit_dirs(
+                head["dirs"],
+                self.image_dedup.schema(),
+                {**head.get("meta", {}), "images_snapshot": images_sid},
+                op="publish-meta",
+            )
+        if mode == "incremental":
+            km_new.unpersist()
         sig.unpersist()
         if self.snapshot_gc:
             self.image_dedup.expire()
@@ -965,4 +1060,8 @@ class CrawlEngine:
             )
             .collect()[0]
         )
-        return {"rows": int(row["rows"]), "dup_images": int(row["dups"] or 0)}
+        return {
+            "rows": int(row["rows"]),
+            "dup_images": int(row["dups"] or 0),
+            "mode": mode,
+        }

@@ -228,6 +228,27 @@ def hamming_near_dup(
     10^10 with the (band,bucket)-keyed shuffle; at 2-bit bands
     (tau>15) banding degenerates toward a cross join. Perceptual-hash
     near-dup thresholds in practice are tau<=10 (<=16 bands)."""
+    bb = _ham_band_explode(sig, id_col, lo_col, hi_col, tau, n_bands)
+    a, b = bb.alias("a"), bb.alias("b")
+    ham = F.expr(
+        f"bit_count(a.{lo_col} ^ b.{lo_col}) + bit_count(a.{hi_col} ^ b.{hi_col})"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= tau)
+        .distinct()  # a pair may collide in several bands
+    )
+
+
+def _ham_band_explode(sig, id_col, lo_col, hi_col, tau, n_bands):
+    """(id, lo, hi) → one row per (band, bucket) slice, pigeonhole-exact
+    band layout shared by the self-join and delta variants."""
     if n_bands is None:
         n_bands = next(nb for nb in (4, 8, 16, 32) if nb - 1 >= tau or nb == 32)
     assert n_bands in (4, 8, 16, 32), "band width must divide 32"
@@ -243,23 +264,49 @@ def hamming_near_dup(
         )
         for b, off in enumerate(range(0, 64, width))
     ]
-    bb = sig.select(
+    return sig.select(
         F.col(id_col), F.col(lo_col), F.col(hi_col), F.explode(F.array(*parts)).alias("bb")
     ).select(id_col, lo_col, hi_col, "bb.band", "bb.bucket")
-    a, b = bb.alias("a"), bb.alias("b")
+
+
+def hamming_near_dup_delta(
+    sig_delta,
+    sig_full,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    tau: int = _HAM_TAU,
+    n_bands: int | None = None,
+):
+    """The NEW near-dup pairs created by appending ``sig_delta`` rows to
+    a corpus whose full signature set (old rows PLUS the delta) is
+    ``sig_full``: every pair with popcount(xor) <= tau and at least one
+    delta endpoint, each exactly once as (left_id < right_id). Because
+    the corpus is append-only and signatures immutable,
+    pairs(full) = pairs(old) ∪ this — the incremental maintenance
+    identity behind CrawlEngine.publish_dedup(incremental=True).
+
+    Same pigeonhole-exact banding as hamming_near_dup, but the join is
+    delta × full instead of full × full: cost ~|delta|·n/2^w per band,
+    O(delta) for a bounded round delta no matter how large the table.
+    A delta-delta pair is produced from both sides of the join, so
+    pairs are normalized with least/greatest before the distinct."""
+    da = _ham_band_explode(sig_delta, id_col, lo_col, hi_col, tau, n_bands).alias("a")
+    fb = _ham_band_explode(sig_full, id_col, lo_col, hi_col, tau, n_bands).alias("b")
     ham = F.expr(
         f"bit_count(a.{lo_col} ^ b.{lo_col}) + bit_count(a.{hi_col} ^ b.{hi_col})"
     )
+    l, r = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        da.join(fb, ["band", "bucket"])
+        .filter(l != r)
+        .filter(ham <= tau)
         .select(
-            F.col(f"a.{id_col}").alias("left_id"),
-            F.col(f"b.{id_col}").alias("right_id"),
+            F.least(l, r).alias("left_id"),
+            F.greatest(l, r).alias("right_id"),
             ham.alias("hamming"),
         )
-        .filter(F.col("hamming") <= tau)
-        .distinct()  # a pair may collide in several bands
+        .distinct()  # band collisions + both-delta double emission
     )
 
 

@@ -288,6 +288,42 @@ class SnapTable:
         # columns and pushes filters into each parquet scan
         return spark.read.schema(schema).parquet(*m["dirs"])
 
+    def read_incremental(self, spark: SparkSession, since_snapshot_id: int) -> DataFrame:
+        """Iceberg incremental-append scan analogue: the rows ADDED
+        after ``since_snapshot_id``, read from only the data dirs that
+        appeared since — an O(delta) scan regardless of table size,
+        which is what lets downstream maintenance (e.g. the image
+        near-dup publish) stay O(new rows) on a 10^10-row table.
+
+        Sound only over an append-only history: every dir of the base
+        snapshot must still be live at HEAD. An overwrite / merge /
+        compact in between rewrites dirs, so "added rows" is no longer
+        dirs-diffable — like Iceberg's incremental scan, this raises
+        and the caller falls back to a full read. An expired (GC'd)
+        base snapshot raises for the same reason."""
+        cur = self.current_manifest()
+        if cur is None:
+            raise ValueError(f"table {self.name} has no snapshot")
+        try:
+            base = self._read_manifest(since_snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"table {self.name}: base snapshot {since_snapshot_id} "
+                "is unknown or expired; incremental scan invalid"
+            )
+        base_dirs = set(base["dirs"])
+        if not base_dirs <= set(cur["dirs"]):
+            raise ValueError(
+                f"table {self.name}: history since snapshot "
+                f"{since_snapshot_id} rewrote data (overwrite/merge/"
+                "compact); incremental scan invalid"
+            )
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        new_dirs = [d for d in cur["dirs"] if d not in base_dirs]
+        if not new_dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*new_dirs)
+
 
 class BucketedTable(SnapTable):
     """SnapTable hash-bucketed by a caller-supplied key expression —
@@ -386,6 +422,7 @@ class BucketedTable(SnapTable):
         keys: list[str],
         bucket_col=None,
         nfiles: int | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Keyed last-write-wins upsert touching ONLY the buckets that
         contain merge keys: dirty = distinct buckets of ``df``, current
@@ -409,6 +446,6 @@ class BucketedTable(SnapTable):
             merged = cur.join(
                 df.select(*keys).distinct(), keys, "left_anti"
             ).unionByName(df)
-            sid = self.replace_buckets(merged, dirty, bucket_col)
+            sid = self.replace_buckets(merged, dirty, bucket_col, meta=meta)
             df.unpersist()
             return sid

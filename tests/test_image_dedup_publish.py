@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from crawlspark.canon import py_canonicalize
 from crawlspark.codec import decode, phash, synth_image
@@ -90,10 +91,94 @@ def test_publish_dedup_flags_mirror_twins(spark, tmp_path):
     # no false positives: only twin-pair members appear in the product
     assert set(prod.index) == expected_flagged
 
-    # re-publish is idempotent (A5 upsert semantics): same table content
+    # re-publish is idempotent (A5 upsert semantics): same table content.
+    # The second publish takes the incremental path (base snapshot was
+    # recorded by the first) and sees an empty delta.
     res2 = eng.publish_dedup()
-    assert res2 == res
+    assert res2["mode"] == "incremental" and res["mode"] == "full"
+    assert {k: res2[k] for k in ("rows", "dup_images")} == {
+        k: res[k] for k in ("rows", "dup_images")
+    }
     prod2 = eng.image_dedup.read(spark).toPandas().set_index("image_id")
     pd.testing.assert_frame_equal(
         prod.sort_index(), prod2.sort_index(), check_like=True
     )
+
+
+def test_publish_dedup_incremental_equals_full(spark, tmp_path):
+    """Two-phase crawl: publish after phase 1 (full), crawl more twins —
+    including a cross-phase twin of a phase-1 image and a second
+    near-dup of an already-flagged image — publish again. The second
+    publish must take the O(delta) incremental path (delta × full
+    banded join folded into stored keeper state) and produce EXACTLY
+    the table a from-scratch full recompute produces."""
+    hosts = [f"h{i}.example.com" for i in range(1, 4)]
+    base = [f"https://{hosts[i % 3]}/img/{i}" for i in range(24)]
+    m1 = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[::4]]
+    pol = pd.DataFrame(
+        {
+            "host": hosts
+            + [f"mirror.{h}" for h in hosts]
+            + [f"mirror.mirror.{h}" for h in hosts],
+            "budget": [1000] * 9,
+        }
+    )
+    cfg = SynthConfig(n_seeds=10, n_hosts=3, max_depth=0, fault_free=True)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd"), cfg, politeness_pdf=pol, use_cuckoo=False
+    )
+    # phase 1: bases + some mirrors; publish (full — no base recorded)
+    eng.add_seeds(
+        spark.createDataFrame(
+            pd.DataFrame({"url": base + m1, "depth": [0] * (len(base) + len(m1))})
+        )
+    )
+    eng.run(max_rounds=4)
+    assert eng.publish_dedup()["mode"] == "full"
+
+    # phase 2: cross-phase twins of phase-1-only bases (old id gains its
+    # first neighbor) + mirror-of-mirror copies (already-flagged id
+    # gains a SECOND neighbor — exercises the n_dups/keeper fold)
+    m2 = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[1::4]]
+    mm = [f"https://mirror.{u.split('://', 1)[1]}" for u in m1[:3]]
+    eng.add_seeds(
+        spark.createDataFrame(
+            pd.DataFrame({"url": m2 + mm, "depth": [0] * (len(m2) + len(mm))})
+        )
+    )
+    eng.run(max_rounds=4)
+    res_inc = eng.publish_dedup()
+    assert res_inc["mode"] == "incremental"
+    inc = eng.image_dedup.read(spark).toPandas().set_index("image_id").sort_index()
+
+    # ground truth: a from-scratch full keeper map over the final
+    # images table, computed OUTSIDE the product (a merge-based full
+    # republish could not reveal spurious extra rows)
+    from crawlspark.ops.dedup import hamming_near_dup, split_phash64
+    from crawlspark.ops.imageops import keeper_map
+
+    sig = split_phash64(
+        eng.images.read(spark).select("image_id", "phash"), "phash"
+    )
+    full = (
+        keeper_map(
+            hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=7),
+            "image_id",
+        )
+        .withColumn("is_dup", F.col("image_id") != F.col("keeper_id"))
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(inc, full, check_like=True, check_dtype=False)
+    # the cross-phase twin really is flagged
+    imgs = eng.images.read(spark).select("image_id", "url").toPandas()
+    id_by_url = dict(zip(imgs["url"], imgs["image_id"]))
+    for mu in m2:
+        assert id_by_url[py_canonicalize(mu)] in inc.index
+    # the double-mirrored ids carry >= 2 duplicates after the fold
+    for mu in mm:
+        mid = id_by_url[py_canonicalize(mu)]
+        assert mid in inc.index
+        base_of = "https://" + mu.split("://mirror.", 1)[1]
+        assert inc.loc[id_by_url[py_canonicalize(base_of)], "n_dups"] >= 2

@@ -91,3 +91,71 @@ def test_split_phash64_roundtrip(spark):
         if recon >= 1 << 63:
             recon -= 1 << 64
         assert recon == row.phash
+
+
+def test_delta_pairs_equal_full_minus_old(spark):
+    """Incremental identity behind publish_dedup(incremental=True):
+    over a random signature corpus split old/delta,
+    hamming_near_dup_delta(delta, full) must equal
+    pairs(full) - pairs(old) exactly — every pair with a delta
+    endpoint once, no old-old pair, across tau/band layouts."""
+    import random
+
+    from crawlspark.ops.dedup import hamming_near_dup_delta
+
+    rng = random.Random(42)
+    seeds = [rng.getrandbits(64) for _ in range(40)]
+    rows = []
+    for i, s in enumerate(seeds):
+        rows.append((i * 10, _signed(s)))
+        # clustered copies a few bit-flips away → plenty of pairs,
+        # including delta-delta and delta-old ones
+        for j in range(rng.randrange(3)):
+            flipped = s
+            for _ in range(rng.randrange(1, 5)):
+                flipped ^= 1 << rng.randrange(64)
+            rows.append((i * 10 + j + 1, _signed(flipped)))
+    rng.shuffle(rows)
+    cut = len(rows) * 2 // 3
+    old_rows, delta_rows = rows[:cut], rows[cut:]
+
+    for tau in (1, 3, 7):
+        full_df = spark.createDataFrame(rows, "image_id long, phash long")
+        old_df = spark.createDataFrame(old_rows, "image_id long, phash long")
+        delta_df = spark.createDataFrame(delta_rows, "image_id long, phash long")
+        s_full = split_phash64(full_df, "phash")
+        pairs_full = {
+            (r.left_id, r.right_id)
+            for r in hamming_near_dup(
+                s_full, "image_id", "phash_lo", "phash_hi", tau=tau
+            ).collect()
+        }
+        pairs_old = {
+            (r.left_id, r.right_id)
+            for r in hamming_near_dup(
+                split_phash64(old_df, "phash"),
+                "image_id",
+                "phash_lo",
+                "phash_hi",
+                tau=tau,
+            ).collect()
+        }
+        got = [
+            (r.left_id, r.right_id)
+            for r in hamming_near_dup_delta(
+                split_phash64(delta_df, "phash"),
+                s_full,
+                "image_id",
+                "phash_lo",
+                "phash_hi",
+                tau=tau,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), "delta pair emitted twice"
+        assert set(got) == pairs_full - pairs_old, f"tau={tau}"
+        assert pairs_old <= pairs_full
+
+
+def _signed(u: int) -> int:
+    """64-bit unsigned → Spark LongType two's-complement."""
+    return u - (1 << 64) if u >= 1 << 63 else u

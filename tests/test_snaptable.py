@@ -90,3 +90,38 @@ def test_write_options_control_parquet_codec(spark, tmp_path):
     }
     assert codecs == {"UNCOMPRESSED"}
     assert t.read(spark).count() == 100
+
+
+def test_read_incremental(spark, tmp_path):
+    """Iceberg incremental-append scan analogue: rows added since a
+    snapshot, O(delta) dirs; raises (→ caller full-reads) whenever the
+    history rewrote data or the base snapshot is gone."""
+    import pytest
+
+    t = SnapTable(str(tmp_path / "inc"))
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    s0 = t.commit_empty(schema)
+    s1 = t.append(spark.range(5).selectExpr("id as x"))
+    s2 = t.append(spark.range(5, 8).selectExpr("id as x"))
+    assert sorted(r["x"] for r in t.read_incremental(spark, s0).collect()) == list(
+        range(8)
+    )
+    assert sorted(r["x"] for r in t.read_incremental(spark, s1).collect()) == [5, 6, 7]
+    # empty delta at HEAD
+    assert t.read_incremental(spark, s2).count() == 0
+    # an overwrite invalidates dirs-diffing
+    t.overwrite(spark.range(2).selectExpr("id as x"))
+    with pytest.raises(ValueError, match="rewrote"):
+        t.read_incremental(spark, s1)
+    # append-after-overwrite diffs fine against the overwrite snapshot
+    s4 = t.current_snapshot_id()
+    t.append(spark.range(100, 103).selectExpr("id as x"))
+    assert t.read_incremental(spark, s4).count() == 3
+    # expired base snapshot raises rather than lying
+    t.expire()
+    with pytest.raises(ValueError, match="unknown or expired"):
+        t.read_incremental(spark, s4)
+    # rollback + expire drops the later dirs: diffing from a dropped
+    # future snapshot must refuse too (manifest gone)
+    with pytest.raises(ValueError):
+        t.read_incremental(spark, s2)
