@@ -20,7 +20,13 @@ Protocol (one in-process local[32] session, tmpfs workdir):
            final table (merge then finds nothing new to write)
 
 Usage: python tools/bench_incr_publish.py [n_seeds=60000] [delta_pct=2]
+   or: python tools/bench_incr_publish.py --sig n_rows delta_rows
 Prints one JSON line and appends it to BENCH/HISTORY_INCR_PUBLISH.jsonl.
+
+--sig isolates the asymptotic claim from crawl/publish fixed costs:
+random 64-bit signatures (plus a 2% near-twin slice so pairs exist),
+time pairs(full × full) vs pairs(delta × full) alone at million-row
+scale — the part of the publish that is O(n²/2^w) vs O(delta·n/2^w).
 """
 
 from __future__ import annotations
@@ -43,7 +49,81 @@ from crawlspark.session import get_spark  # noqa: E402
 from crawlspark.synth import SynthConfig, gen_seeds, host_name  # noqa: E402
 
 
+def sig_only(n_rows: int, delta_rows: int) -> None:
+    """Pairs-stage timing on synthetic signatures (no crawl, no merge)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.ops.dedup import (
+        hamming_near_dup,
+        hamming_near_dup_delta,
+        split_phash64,
+    )
+
+    extra = {"spark.sql.adaptive.enabled": "false"}
+    if os.path.isdir("/dev/shm"):
+        os.makedirs("/dev/shm/crawlspark-scratch", exist_ok=True)
+        extra["spark.local.dir"] = "/dev/shm/crawlspark-scratch"
+    spark = get_spark(
+        "local[32]", shuffle_partitions=32, app_name="bench-incr-sig", extra_conf=extra
+    )
+    # uniform random 64-bit signatures + a 2% twin slice 1-3 bit-flips
+    # away (xor with a sparse mask) so real pairs exist at tau=7
+    base = spark.range(n_rows).select(
+        F.col("id").alias("image_id"),
+        F.xxhash64(F.col("id"), F.lit("sig")).alias("phash"),
+    )
+    twins = spark.range(n_rows // 50).select(
+        (F.col("id") + n_rows).alias("image_id"),
+        F.expr(
+            "xxhash64((id * 50) % {n}, 'sig') ^ "
+            "shiftleft(1L, cast(pmod(xxhash64(id), 64) as int))".format(n=n_rows)
+        ).alias("phash"),
+    )
+    full = split_phash64(base.unionByName(twins), "phash").cache()
+    n_full = full.count()  # materialize before timing
+    delta = split_phash64(
+        spark.range(delta_rows).select(
+            (F.col("id") + 2 * n_rows).alias("image_id"),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.xxhash64((F.col("id") * 977) % n_rows, F.lit("sig")),
+            )
+            .otherwise(F.xxhash64(F.col("id"), F.lit("fresh")))
+            .alias("phash"),
+        ),
+        "phash",
+    ).cache()
+    n_delta = delta.count()
+    t0 = time.time()
+    pairs_full = hamming_near_dup(
+        full, "image_id", "phash_lo", "phash_hi", tau=7
+    ).count()
+    full_wall = time.time() - t0
+    t0 = time.time()
+    pairs_delta = hamming_near_dup_delta(
+        delta, full.unionByName(delta), "image_id", "phash_lo", "phash_hi", tau=7
+    ).count()
+    delta_wall = time.time() - t0
+    out = {
+        "sig_only": True,
+        "n_rows": int(n_full),
+        "delta_rows": int(n_delta),
+        "pairs_full": int(pairs_full),
+        "pairs_delta": int(pairs_delta),
+        "pairs_full_sec": round(full_wall, 2),
+        "pairs_delta_sec": round(delta_wall, 2),
+        "speedup": round(full_wall / delta_wall, 2) if delta_wall > 0 else None,
+    }
+    spark.stop()
+    with open(os.path.join(_REPO, "BENCH", "HISTORY_INCR_PUBLISH.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print("BENCH_INCR_PUBLISH " + json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sig":
+        sig_only(int(sys.argv[2]), int(sys.argv[3]))
+        return
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     delta_pct = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     n_hosts = max(50, n_seeds // 300)
