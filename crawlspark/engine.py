@@ -210,6 +210,13 @@ class CrawlEngine:
         self.image_dedup = BucketedTable(
             os.path.join(workdir, "image_dedup"), frontier_buckets
         )
+        # image-embedding table + persisted ANN index (publish_ann_index):
+        # derived products like image_dedup — outside the round manifest,
+        # idempotently re-publishable, incrementally maintained
+        self.image_emb = SnapTable(os.path.join(workdir, "image_emb"))
+        from .ops.ivf_index import IvfIndex
+
+        self.ann_index = IvfIndex(os.path.join(workdir, "ann_index"))
         self.cuckoo = CuckooSeen(os.path.join(workdir, "cuckoo"), n_pg=cuckoo_pg)
         self.state_dir = os.path.join(workdir, "state")
         # speculative next-round selection (pending/denied/selected
@@ -217,12 +224,15 @@ class CrawlEngine:
         # purely an overlap optimization, discarded whenever stale
         self._presel: dict | None = None
         os.makedirs(self.state_dir, exist_ok=True)
+        from .ops.imageops import ENGINE_EMBED_SCHEMA
+
         for t, schema in (
             (self.frontier, FRONTIER_SCHEMA),
             (self.seen, SEEN_SCHEMA),
             (self.images, IMAGES_SCHEMA),
             (self.fetch_log, LOG_SCHEMA),
             (self.image_dedup, IMAGE_DEDUP_SCHEMA),
+            (self.image_emb, ENGINE_EMBED_SCHEMA),
         ):
             if not t.exists():
                 t.commit_empty(schema)
@@ -796,16 +806,19 @@ class CrawlEngine:
             # expire() always keeps each table's HEAD (== the snapshot
             # ids just committed), so older snapshots and any orphaned
             # partial-round dirs are reclaimed here. The images table
-            # additionally keeps the last publish_dedup base snapshot
-            # (image_dedup meta) so a later publish can still diff
-            # incrementally instead of re-banding the whole table.
+            # additionally keeps the derived products' base snapshots
+            # (image_dedup / image_emb meta) so later publishes can
+            # still diff incrementally instead of reprocessing the
+            # whole table.
             for t in (self.frontier, self.seen, self.fetch_log):
                 t.expire()
-            dm = self.image_dedup.current_manifest()
-            base = (dm.get("meta") or {}).get("images_snapshot") if dm else None
-            self.images.expire(
-                keep_snapshots=[int(base)] if base is not None else None
-            )
+            keeps = []
+            for tbl in (self.image_dedup, self.image_emb):
+                mm = tbl.current_manifest()
+                b = (mm.get("meta") or {}).get("images_snapshot") if mm else None
+                if b is not None:
+                    keeps.append(int(b))
+            self.images.expire(keep_snapshots=keeps or None)
             self.cuckoo.table.expire()
         for df in (pending, denied, selected, outlinks, incoming) + (
             (due,) if due is not None else ()
@@ -1064,4 +1077,65 @@ class CrawlEngine:
             "rows": int(row["rows"]),
             "dup_images": int(row["dups"] or 0),
             "mode": mode,
+        }
+
+    # ------------------------------------------------- ANN index publish
+    def publish_ann_index(self) -> dict:
+        """Post-crawl ANN index over the crawled images: embed the
+        stored image bytes into the shared dim-64 space (shuffle-free
+        Arrow stage, ops/imageops.embed_images) and maintain the
+        persisted bucket-per-cell IvfIndex over them — "find images
+        visually similar to this one" as a standing queryable product.
+
+        Incremental end to end, same contract as publish_dedup: the
+        image_emb table records the images snapshot it covers, so a
+        re-publish embeds ONLY the images fetched since (no decode work
+        repeats), and IvfIndex.update assigns only those new vectors
+        into their cells' buckets. Any non-append images history falls
+        back to full re-embed + index rebuild, which is always correct.
+        """
+        from .ops.imageops import embed_images
+
+        images_sid = self.images.current_snapshot_id()
+        m = self.image_emb.current_manifest()
+        base = (m.get("meta") or {}).get("images_snapshot") if m else None
+        mode, delta = "full", None
+        if base is not None:
+            try:
+                delta = self.images.read_incremental(self.spark, int(base))
+                mode = "incremental"
+            except ValueError:
+                pass
+        if mode == "incremental":
+            if int(base) == images_sid:
+                pass  # images unchanged since last publish: nothing to do
+            elif delta.isEmpty():
+                # new images snapshot but no added rows (meta-only
+                # commits): advance the recorded base without a write
+                head = self.image_emb.current_manifest()
+                self.image_emb.commit_dirs(
+                    head["dirs"],
+                    self.image_emb.schema(),
+                    {"images_snapshot": images_sid},
+                    op="emb-meta",
+                )
+            else:
+                self.image_emb.append(
+                    embed_images(delta), meta={"images_snapshot": images_sid}
+                )
+        else:
+            self.image_emb.overwrite(
+                embed_images(self.images.read(self.spark)),
+                meta={"images_snapshot": images_sid},
+            )
+        if self.image_emb.read(self.spark).isEmpty():
+            return {"mode": mode, "index": "empty", "vectors": 0}
+        r = self.ann_index.update(self.spark, self.image_emb)
+        if self.snapshot_gc:
+            self.image_emb.expire()
+            self.ann_index.table.expire()
+        return {
+            "mode": mode,
+            "index": r["mode"],
+            "vectors": int(self.ann_index.table.read(self.spark).count()),
         }

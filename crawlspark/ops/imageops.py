@@ -192,6 +192,42 @@ def _image_embeddings(spark, sf):
     return _doc_urls(spark, sf).mapInPandas(run, EMBED_SCHEMA)
 
 
+ENGINE_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+    ]
+)
+
+
+def embed_images(images_df):
+    """Embed CRAWLED images (the engine's images table: image_id string,
+    bytes, fmt) into the shared dim-64 ANN space — decode the STORED
+    bytes (no re-fetch) and run embed_pixels per image. Shuffle-free
+    Arrow stage; CrawlEngine.publish_ann_index feeds the result to the
+    persisted IvfIndex, typically over only the round's delta rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _ensure_repo_path()
+        from crawlspark.codec import decode
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                {
+                    "vec_id": i,
+                    "embedding": embed_pixels(decode(b, f)).tolist(),
+                }
+                for i, b, f in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"])
+            ]
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+    return images_df.select("image_id", "bytes", "fmt").mapInPandas(
+        run, ENGINE_EMBED_SCHEMA
+    )
+
+
 def image_embed(spark, sf):
     """Gate view of the embedding extractor: array serialized to a
     rounded CSV string so the driver's sort-based compare can handle it
