@@ -182,3 +182,57 @@ def test_publish_dedup_incremental_equals_full(spark, tmp_path):
         assert mid in inc.index
         base_of = "https://" + mu.split("://mirror.", 1)[1]
         assert inc.loc[id_by_url[py_canonicalize(base_of)], "n_dups"] >= 2
+
+
+def test_publish_dedup_full_fallback_after_compaction(spark, tmp_path):
+    """Compacting the images table (maybe_compact rewrites data dirs)
+    breaks the append-diff chain on purpose; the next publish must
+    detect it, fall back to the full re-band, and still produce the
+    exact from-scratch product."""
+    hosts = [f"h{i}.example.com" for i in range(1, 4)]
+    base = [f"https://{hosts[i % 3]}/img/{i}" for i in range(12)]
+    m1 = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[::3]]
+    pol = pd.DataFrame(
+        {"host": hosts + [f"mirror.{h}" for h in hosts], "budget": [1000] * 6}
+    )
+    cfg = SynthConfig(n_seeds=10, n_hosts=3, max_depth=0, fault_free=True)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd"), cfg, politeness_pdf=pol, use_cuckoo=False
+    )
+    eng.add_seeds(
+        spark.createDataFrame(
+            pd.DataFrame({"url": base + m1, "depth": [0] * (len(base) + len(m1))})
+        )
+    )
+    eng.run(max_rounds=4)
+    assert eng.publish_dedup()["mode"] == "full"
+
+    m2 = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[1::3]]
+    eng.add_seeds(
+        spark.createDataFrame(pd.DataFrame({"url": m2, "depth": [0] * len(m2)}))
+    )
+    eng.run(max_rounds=8)
+    # compact AFTER the crawl: a mid-crawl compaction would be rolled
+    # back by the next run()'s resume (it is not in the round manifest —
+    # itself a correctness property: resume cannot lose crawl data to a
+    # maintenance commit). Compacting here rewrites every data dir.
+    assert eng.images.maybe_compact(spark, max_dirs=0)
+    res = eng.publish_dedup()
+    assert res["mode"] == "full"  # chain broken -> fallback, not a wrong delta
+
+    from crawlspark.ops.dedup import hamming_near_dup, split_phash64
+    from crawlspark.ops.imageops import keeper_map
+
+    sig = split_phash64(eng.images.read(spark).select("image_id", "phash"), "phash")
+    truth = (
+        keeper_map(
+            hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=7),
+            "image_id",
+        )
+        .withColumn("is_dup", F.col("image_id") != F.col("keeper_id"))
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    got = eng.image_dedup.read(spark).toPandas().set_index("image_id").sort_index()
+    pd.testing.assert_frame_equal(got, truth, check_like=True, check_dtype=False)

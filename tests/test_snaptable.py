@@ -125,3 +125,57 @@ def test_read_incremental(spark, tmp_path):
     # future snapshot must refuse too (manifest gone)
     with pytest.raises(ValueError):
         t.read_incremental(spark, s2)
+
+
+def test_read_incremental_random_histories(spark, tmp_path):
+    """Property over random append/overwrite histories: for every base
+    snapshot with an append-only suffix, read_incremental returns
+    exactly rows(HEAD) - rows(base); any base separated from HEAD by a
+    rewrite must raise; after expire every non-kept base must raise."""
+    import random
+
+    import pytest
+
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+
+    def df(vals):
+        return spark.createDataFrame([(int(v),) for v in sorted(vals)], schema)
+
+    rng = random.Random(5)
+    for trial in range(3):
+        t = SnapTable(str(tmp_path / f"rh{trial}"))
+        t.commit_empty(schema)
+        rows_now: set[int] = set()
+        epoch, nxt = 0, 0
+        history = [(t.current_snapshot_id(), frozenset(), 0)]
+        for _ in range(10):
+            if rng.random() < 0.75 or not rows_now:
+                batch = set(range(nxt, nxt + rng.randint(1, 4)))
+                nxt += len(batch)
+                rows_now |= batch
+                sid = t.append(df(rows_now & batch))
+            else:
+                rows_now = set(rng.sample(sorted(rows_now), len(rows_now) // 2))
+                sid = t.overwrite(df(rows_now))
+                epoch += 1
+            history.append((sid, frozenset(rows_now), epoch))
+        sid0 = history[0][0]
+        for sid, rowset, ep in history:
+            # the invariant is dirs-subset, not "no rewrite happened":
+            # the initial empty snapshot (zero dirs) diffs successfully
+            # across any history, and its delta — all HEAD rows — is
+            # still exactly rows(HEAD) - rows(base)
+            if ep == epoch or sid == sid0:
+                got = sorted(
+                    r["x"] for r in t.read_incremental(spark, sid).collect()
+                )
+                assert got == sorted(rows_now - rowset), f"trial {trial} sid {sid}"
+            else:
+                with pytest.raises(ValueError):
+                    t.read_incremental(spark, sid)
+        t.expire()
+        head = t.current_snapshot_id()
+        for sid, _, _ in history:
+            if sid != head:
+                with pytest.raises(ValueError):
+                    t.read_incremental(spark, sid)
