@@ -74,3 +74,77 @@ def test_publish_ann_index_incremental_and_search(spark, tmp_path):
     r3 = eng.publish_ann_index()
     assert (r3["mode"], r3["index"]) == ("incremental", "update")
     assert r3["vectors"] == n2
+
+
+def test_publish_ann_index_survives_crash_resume(spark, tmp_path):
+    """Publish mid-crawl, crash with partial image writes, resume and
+    finish, publish again: the second publish must still take the
+    incremental path (resume's rollback lands exactly on the recorded
+    base snapshot, discarding the junk) and its assignments must equal
+    a from-scratch build under the same centroids."""
+    eng, hosts = _engine(spark, tmp_path)
+    base = [f"https://{hosts[i % 3]}/img/{i}" for i in range(18)]
+    eng.add_seeds(
+        spark.createDataFrame(pd.DataFrame({"url": base, "depth": [0] * len(base)}))
+    )
+    eng.run(max_rounds=8, stop_after=1)
+    r1 = eng.publish_ann_index()
+    assert r1["index"] == "build"
+
+    # crash: a partial images append lands, no round manifest
+    import numpy as np  # noqa: F401
+
+    eng.images.append(
+        spark.createDataFrame(
+            [("junk-id", "https://junk.example.com/x", b"\x00", 1, 1, "png", "j", 0, 99)],
+            eng.images.schema(),
+        )
+    )
+
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.synth import SynthConfig
+
+    cfg = SynthConfig(n_seeds=10, n_hosts=3, max_depth=0, fault_free=True)
+    pol = pd.DataFrame(
+        {
+            "host": hosts + [f"mirror.{h}" for h in hosts],
+            "budget": [1000] * 6,
+        }
+    )
+    resumed = CrawlEngine(
+        spark, str(tmp_path / "wd"), cfg, politeness_pdf=pol, use_cuckoo=False
+    )
+    mirrors = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[:4]]
+    resumed.add_seeds(
+        spark.createDataFrame(
+            pd.DataFrame({"url": mirrors, "depth": [0] * len(mirrors)})
+        )
+    )
+    resumed.run(max_rounds=8)
+    imgs = resumed.images.read(spark)
+    assert imgs.filter("image_id = 'junk-id'").count() == 0  # junk discarded
+
+    r2 = resumed.publish_ann_index()
+    assert (r2["mode"], r2["index"]) == ("incremental", "update")
+    assert r2["vectors"] == imgs.count()
+
+    # assignments equal a from-scratch build under the SAME centroids
+    from crawlspark.ops.ivf_index import IvfIndex
+
+    ref = IvfIndex(str(tmp_path / "ivf_ref"), n_cells=resumed.ann_index.n_cells)
+    ref.build(spark, resumed.image_emb, centroids=resumed.ann_index.centroids_df(spark))
+    a = (
+        resumed.ann_index.table.read(spark)
+        .select("vec_id", "cell")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ref.table.read(spark)
+        .select("vec_id", "cell")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
