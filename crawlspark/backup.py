@@ -33,7 +33,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .snaptable import SnapTable
+from .snaptable import SnapTable, atomic_write_json
 
 
 def _hex_binary(df: DataFrame) -> DataFrame:
@@ -81,6 +81,7 @@ def backup_table_incremental(
     if sid is None:
         raise ValueError(f"table {table.name} has no snapshot to back up")
     if state is not None and state["snapshot"] == sid:
+        table.pin_snapshot(f"backup:{root}", sid)  # heal a missing pin
         return {
             "mode": "noop",
             "root": root,
@@ -88,6 +89,14 @@ def backup_table_incremental(
             "generation": state["generation"],
             "snapshot": sid,
         }
+    # Pin the snapshot this export will record as its diff base BEFORE
+    # doing any work, so the table owner's snapshot GC (SnapTable.expire,
+    # run every engine round) cannot reclaim it between exports — without
+    # the pin every incremental backup of a GC'd table silently degrades
+    # to a full-generation roll. The previous base stays pinned until the
+    # atomic STATE replace lands (crash-safe: at worst one extra pin).
+    pin_owner = f"backup:{root}"
+    table.pin_snapshot(pin_owner, sid)
     df, mode = None, "full"
     if state is not None:
         try:
@@ -105,12 +114,10 @@ def backup_table_incremental(
         d = os.path.join(root, f"gen-{gen}", "base")
         next_delta = 0
     _hex_binary(df).write.mode("overwrite").json(d)
-    tmp = state_path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"generation": gen, "snapshot": sid, "next_delta": next_delta}, f
-        )
-    os.replace(tmp, state_path)
+    atomic_write_json(
+        state_path, {"generation": gen, "snapshot": sid, "next_delta": next_delta}
+    )
+    table.set_pin(pin_owner, [sid])  # release the superseded base pin
     return {"mode": mode, "root": root, "dir": d, "generation": gen, "snapshot": sid}
 
 
@@ -125,13 +132,16 @@ def restore_backup_incremental(
     base."""
     root = tree_root
     with open(os.path.join(root, "STATE.json")) as f:
-        gen = json.load(f)["generation"]
-    gen_dir = os.path.join(root, f"gen-{gen}")
-    dirs = sorted(
-        os.path.join(gen_dir, d)
-        for d in os.listdir(gen_dir)
-        if os.path.isdir(os.path.join(gen_dir, d))
-    )
+        state = json.load(f)
+    # Replay exactly what STATE claims — base + delta-0..next_delta-1 —
+    # never os.listdir: an export that crashed after writing delta-N but
+    # before the atomic STATE replace leaves an orphan dir whose row set
+    # is a partial (committed-tasks-only) subset; listing the directory
+    # would silently restore it.
+    gen_dir = os.path.join(root, f"gen-{state['generation']}")
+    dirs = [os.path.join(gen_dir, "base")] + [
+        os.path.join(gen_dir, f"delta-{i}") for i in range(state["next_delta"])
+    ]
     return _restore_dirs(table, spark, dirs, key)
 
 

@@ -51,12 +51,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .canon import canonicalize
 from .fetch import expand_outlinks, fetch_images, with_status
 from .hashing import h60
 from .politeness import filter_robots, select_budget
-from .snaptable import BucketedTable, SnapTable
+from .snaptable import BucketedTable, SnapTable, atomic_write_json
 from .synth import SynthConfig
 from .urlseen import CuckooSeen
 
@@ -271,11 +272,9 @@ class CrawlEngine:
             "counters": counters,
             "lineage": lineage,
         }
-        p = os.path.join(self.state_dir, f"round-{round_id:06d}.json")
-        tmp = p + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, p)
+        atomic_write_json(
+            os.path.join(self.state_dir, f"round-{round_id:06d}.json"), manifest
+        )
         tmp = self._head_path() + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(round_id))
@@ -365,10 +364,24 @@ class CrawlEngine:
                 F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
             )
         )
+        # Merge against the COMMITTED state, not HEAD: after a mid-round
+        # crash the frontier/seen HEADs hold that round's partial writes
+        # (which resume() will discard) — merging on HEAD would bless a
+        # partial frontier into the manifest and anti-join seeds against
+        # seen rows that are about to be rolled back, both losing URLs.
+        # In the no-crash case the committed snapshots ARE the HEADs.
+        m = self.last_round()
+        fr_sid = m["snapshots"]["frontier"] if m is not None else None
+        seen_sid = m["snapshots"]["url_seen"] if m is not None else None
         merged = self._reduce_per_url(
-            self.frontier.read(self.spark).unionByName(rows)
-        ).join(self.seen.read(self.spark).select("url"), "url", "left_anti")
-        # all-buckets replace: seeding rebuilds every bucket's leaf dir
+            self.frontier.read(self.spark, fr_sid).unionByName(rows)
+        ).join(self.seen.read(self.spark, seen_sid).select("url"), "url", "left_anti")
+        # All-buckets replace rebuilds every leaf dir from ``merged``
+        # alone, so it must not build on a partial-HEAD bucket layout:
+        # roll the frontier back to the committed snapshot first (a
+        # no-op when nothing crashed).
+        if fr_sid is not None and fr_sid != self.frontier.current_snapshot_id():
+            self.frontier.rollback(fr_sid)
         self.frontier.replace_buckets(
             merged, list(range(self.frontier_buckets)), self._bucket()
         )
@@ -380,14 +393,11 @@ class CrawlEngine:
         # would be indistinguishable from a crashed round's partial
         # writes); with it, a crash right after add_seeds resumes WITH
         # the seeds — the correct durability semantics.
-        m = self.last_round()
         if m is not None:
             m["snapshots"]["frontier"] = self.frontier.current_snapshot_id()
-            p = os.path.join(self.state_dir, f"round-{m['round_id']:06d}.json")
-            tmp = p + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(m, f)
-            os.replace(tmp, p)
+            atomic_write_json(
+                os.path.join(self.state_dir, f"round-{m['round_id']:06d}.json"), m
+            )
         self._discard_presel()  # frontier changed under any presel
 
     # ------------------------------------------------------------ round
@@ -978,22 +988,29 @@ class CrawlEngine:
         full signature table (delta × full, never full × full), and
         folds the new pairs into the stored keeper state exactly:
         keeper' = min(stored keeper, min new neighbor), n_dups' =
-        stored + new-neighbor count — valid precisely because the
-        corpus is append-only so pairs(full) = pairs(old) ∪ pairs(new).
-        Cost is O(delta · n/2^w + affected buckets), not O(n²/2^w): the
-        10^10-image re-publish touches one round's images, not the
-        table. Any history that breaks the identity (rollback, expired
-        base snapshot, a rewrite of the images table) raises inside
-        read_incremental and falls back to the full recompute, which is
-        always correct.
+        stored + new-neighbor count — valid precisely because
+        pairs(full) = pairs(old) ∪ pairs(new) with the two sets
+        disjoint. Under recrawl mode the delta can contain re-appended
+        EXISTING image_ids, which would re-emit already-folded pairs:
+        the incremental path therefore (a) drops delta ids already
+        present at the base snapshot (their pairs are already counted)
+        and (b) verifies no recrawled id came back with a different
+        phash — a content change invalidates pairs(old) itself, so that
+        rare case falls back to the full recompute, which under recrawl
+        takes the LATEST row per id (the reference's upsert-by-_id view)
+        and REPLACES the dedup table rather than merging, since changed
+        content can remove pairs. Cost is O(delta · n/2^w + affected
+        buckets), not O(n²/2^w): the 10^10-image re-publish touches one
+        round's images, not the table. Any history that breaks the
+        identity (rollback, expired base snapshot, a rewrite of the
+        images table) raises inside read_incremental and falls back to
+        the full recompute.
         """
         from .ops.dedup import hamming_near_dup, hamming_near_dup_delta, split_phash64
         from .ops.imageops import keeper_map
 
         images_sid = self.images.current_snapshot_id()
-        bucket_expr = F.pmod(
-            h60(F.col("image_id")), F.lit(self.frontier_buckets)
-        ).cast("int")
+        bucket_expr = self._bucket("image_id")
         cur_m = self.image_dedup.current_manifest()
         cur_meta = dict((cur_m.get("meta") or {})) if cur_m else {}
         base_sid = cur_meta.get("images_snapshot")
@@ -1005,10 +1022,47 @@ class CrawlEngine:
             except ValueError:
                 pass  # non-append history or expired base → full recompute
 
+        if mode == "incremental" and self.recrawl_after is not None:
+            # Recrawl mode re-appends existing image_ids (fetch.py uuid5
+            # of url), so the delta is NOT all-new ids: banding those
+            # rows would re-emit pairs the previous publish already
+            # folded into n_dups, double-counting every recrawl cycle.
+            # The fold identity pairs(full) = pairs(old) ∪ pairs(new)
+            # needs (a) delta restricted to genuinely-new ids and
+            # (b) phash immutable per id — if any recrawled row came
+            # back with a DIFFERENT phash (content changed), the old
+            # pair set itself is stale and only a full recompute is
+            # correct. (b) is checked below; (a) is the anti-join in
+            # the incremental branch.
+            delta_ids = (
+                split_phash64(delta.select("image_id", "phash"), "phash")
+                .select("image_id")
+                .distinct()
+            )
+            full_sig_probe = split_phash64(
+                self.images.read(self.spark).select("image_id", "phash"), "phash"
+            )
+            changed = (
+                full_sig_probe.join(delta_ids, "image_id", "left_semi")
+                .groupBy("image_id")
+                .agg(F.countDistinct("phash_lo", "phash_hi").alias("k"))
+                .filter(F.col("k") > 1)
+                .limit(1)
+                .count()
+            )
+            if changed:
+                mode = "full"
+
         if mode == "incremental":
+            # no cache on the delta side: it feeds the join exactly once
             delta_sig = split_phash64(
                 delta.select("image_id", "phash"), "phash"
-            ).cache()
+            ).dropDuplicates(["image_id"])
+            if self.recrawl_after is not None:
+                base_ids = self.images.read(self.spark, int(base_sid)).select(
+                    "image_id"
+                )
+                delta_sig = delta_sig.join(base_ids, "image_id", "left_anti")
             full_sig = split_phash64(
                 self.images.read(self.spark).select("image_id", "phash"), "phash"
             )
@@ -1039,17 +1093,39 @@ class CrawlEngine:
             )
             sig = delta_sig
         else:
-            sig = split_phash64(
-                self.images.read(self.spark).select("image_id", "phash"), "phash"
-            ).cache()
+            src = self.images.read(self.spark).select(
+                "image_id", "phash", "round_id"
+            )
+            if self.recrawl_after is not None:
+                # recrawl appends duplicate image_id rows; the corpus
+                # member is the LATEST fetch of each id (the reference's
+                # upsert-by-_id view of a re-crawled document) — one
+                # hash-agg, max(struct) picks the row with max round_id
+                src = (
+                    src.groupBy("image_id")
+                    .agg(F.max(F.struct("round_id", "phash")).alias("s"))
+                    .select("image_id", F.col("s.phash").alias("phash"))
+                )
+            sig = split_phash64(src.select("image_id", "phash"), "phash").cache()
             pairs = hamming_near_dup(sig, "image_id", "phash_lo", "phash_hi", tau=tau)
             km = keeper_map(pairs, "image_id")
         km = km.withColumn(
             "is_dup", F.col("image_id") != F.col("keeper_id")
         ).select("image_id", "keeper_id", "n_dups", "is_dup")
-        self.image_dedup.merge(
-            km, ["image_id"], bucket_expr, meta={"images_snapshot": images_sid}
-        )
+        if mode == "incremental":
+            self.image_dedup.merge(
+                km, ["image_id"], bucket_expr, meta={"images_snapshot": images_sid}
+            )
+        else:
+            # the full recompute is authoritative: REPLACE the table — a
+            # changed-content recrawl can REMOVE pairs, and a keyed merge
+            # would leave the vanished ids behind as stale dup flags
+            self.image_dedup.replace_buckets(
+                km,
+                list(range(self.image_dedup.n_buckets)),
+                bucket_expr,
+                meta={"images_snapshot": images_sid},
+            )
         # a publish with no new pairs commits nothing in merge(); still
         # advance the recorded base so the next publish diffs from here
         head = self.image_dedup.current_manifest()
@@ -1106,36 +1182,68 @@ class CrawlEngine:
                 mode = "incremental"
             except ValueError:
                 pass
+        prev_meta = dict((m.get("meta") or {})) if m else {}
+        n_vec = prev_meta.get("n_vectors")
+        if n_vec is None and m is not None:
+            n_vec = self.image_emb.read(self.spark).count()  # pre-counter table
+        n_vec = int(n_vec or 0)
         if mode == "incremental":
+            if self.recrawl_after is not None and int(base) != images_sid:
+                # recrawl mode re-appends existing image_ids: embedding
+                # them again would append duplicate vec_id rows (the emb
+                # table growing O(crawls), and a later full index rebuild
+                # persisting duplicate postings). Keep only genuinely-new
+                # ids; a recrawled id keeps its original embedding (the
+                # synthetic codec's bytes are immutable per url — content
+                # refresh lands via the next full rebuild).
+                existing = self.image_emb.read(self.spark).select(
+                    F.col("vec_id").alias("image_id")
+                )
+                delta = delta.dropDuplicates(["image_id"]).join(
+                    existing, "image_id", "left_anti"
+                )
             if int(base) == images_sid:
                 pass  # images unchanged since last publish: nothing to do
             elif delta.isEmpty():
                 # new images snapshot but no added rows (meta-only
-                # commits): advance the recorded base without a write
+                # commits / all rows recrawls): advance the recorded
+                # base without a write, preserving the vector counter
                 head = self.image_emb.current_manifest()
                 self.image_emb.commit_dirs(
                     head["dirs"],
                     self.image_emb.schema(),
-                    {"images_snapshot": images_sid},
+                    {**head.get("meta", {}), "images_snapshot": images_sid},
                     op="emb-meta",
                 )
             else:
+                # delta.count() is a cheap parquet scan (no decode); the
+                # running counter keeps the publish report O(delta) —
+                # never a full count over the 10^9-vector index table
+                n_new = delta.count()
+                n_vec += n_new
                 self.image_emb.append(
-                    embed_images(delta), meta={"images_snapshot": images_sid}
+                    embed_images(delta),
+                    meta={"images_snapshot": images_sid, "n_vectors": n_vec},
                 )
         else:
+            src = self.images.read(self.spark)
+            if self.recrawl_after is not None:
+                # latest fetch per id (same upsert view as publish_dedup)
+                w = Window.partitionBy("image_id").orderBy(F.col("round_id").desc())
+                src = (
+                    src.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            n_vec = src.count()
             self.image_emb.overwrite(
-                embed_images(self.images.read(self.spark)),
-                meta={"images_snapshot": images_sid},
+                embed_images(src),
+                meta={"images_snapshot": images_sid, "n_vectors": n_vec},
             )
-        if self.image_emb.read(self.spark).isEmpty():
+        if n_vec == 0:
             return {"mode": mode, "index": "empty", "vectors": 0}
         r = self.ann_index.update(self.spark, self.image_emb)
         if self.snapshot_gc:
             self.image_emb.expire()
             self.ann_index.table.expire()
-        return {
-            "mode": mode,
-            "index": r["mode"],
-            "vectors": int(self.ann_index.table.read(self.spark).count()),
-        }
+        return {"mode": mode, "index": r["mode"], "vectors": n_vec}

@@ -49,6 +49,21 @@ class IvfIndex:
         source snapshot so later updates can diff from it."""
         emb = source.read(spark).select("vec_id", "embedding")
         if centroids is None:
+            if emb.isEmpty():
+                # no vectors to train on: commit an empty index (zero
+                # centroids, every cell empty) instead of crashing
+                # inside the k-means sampler — search over it returns
+                # no rows, and a later build/update retrains normally
+                empty = emb.limit(0).select(
+                    "vec_id", F.lit(0).cast("int").alias("cell"), "embedding"
+                )
+                self.table.replace_buckets(
+                    empty,
+                    list(range(self.n_cells)),
+                    F.col("cell"),
+                    meta=self._meta([], source.current_snapshot_id()),
+                )
+                return {"mode": "build", "cells": self.n_cells, "empty": True}
             centroids = ivf_kmeans_centroids(spark, emb, n_cells=self.n_cells)
         rows = centroids.collect()
         cent_meta = [[int(r["cell"]), [float(v) for v in r["cv"]]] for r in rows]
@@ -73,6 +88,11 @@ class IvfIndex:
         if m is None:
             return self.build(spark, source)
         meta = m.get("meta") or {}
+        if not meta.get("ivf_centroids"):
+            # index was built over an empty source (no centroids):
+            # incremental assignment has nothing to assign INTO — the
+            # first real data triggers the full build/train path
+            return self.build(spark, source)
         try:
             delta = source.read_incremental(spark, int(meta["ivf_source_snapshot"]))
         except ValueError:

@@ -32,6 +32,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def atomic_write_json(path: str, obj) -> None:
+    """Write JSON via tmp-file + rename — readers see the old or the
+    new content, never a torn write. Shared by every manifest/state
+    file in the package (snapshot manifests, round manifests, backup
+    STATE) so the durability pattern lives in one place."""
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class SnapTable:
     def __init__(
         self,
@@ -198,6 +209,45 @@ class SnapTable:
         """Create the table at snapshot 1 with zero rows (schema pinned)."""
         return self._commit([], schema.json(), meta, "create")
 
+    # ------------------------------------------------------------- pins
+    # Externally-owned snapshot retention (Iceberg ref/branch analogue):
+    # an incremental consumer OUTSIDE the engine (e.g. the CDC backup in
+    # backup.py) records a base snapshot it will diff from later; without
+    # a pin, the engine's per-round expire() would reclaim that base and
+    # every incremental export would degrade to a full-generation roll.
+    def _pins_path(self) -> str:
+        return os.path.join(self.meta_dir, "PINS.json")
+
+    def _read_pins(self) -> dict:
+        try:
+            with open(self._pins_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def pin_snapshot(self, owner: str, snapshot_id: int) -> None:
+        """Add ``snapshot_id`` to ``owner``'s pin set (append — the
+        owner's previous pins stay until set_pin compacts them, so a
+        crash mid-operation leaves at worst an extra pinned snapshot,
+        never an expired base)."""
+        with self._lock:
+            pins = self._read_pins()
+            pins[owner] = sorted(set(pins.get(owner, [])) | {int(snapshot_id)})
+            atomic_write_json(self._pins_path(), pins)
+
+    def set_pin(self, owner: str, snapshot_ids: list[int]) -> None:
+        """Replace ``owner``'s pin set (empty list = release)."""
+        with self._lock:
+            pins = self._read_pins()
+            if snapshot_ids:
+                pins[owner] = sorted({int(s) for s in snapshot_ids})
+            else:
+                pins.pop(owner, None)
+            atomic_write_json(self._pins_path(), pins)
+
+    def pinned_snapshots(self) -> set[int]:
+        return {int(s) for sids in self._read_pins().values() for s in sids}
+
     def expire(self, keep_snapshots: list[int] | None = None) -> int:
         """Iceberg ``expire_snapshots`` analogue (r2 VERDICT "Next
         round" #2): delete every manifest and data directory not
@@ -221,7 +271,7 @@ class SnapTable:
             head = self.current_snapshot_id()
             if head is None:
                 return 0
-            keep = set(keep_snapshots or ()) | {head}
+            keep = set(keep_snapshots or ()) | {head} | self.pinned_snapshots()
             kept_dirs: set[str] = set()
             for sid in keep:
                 try:
