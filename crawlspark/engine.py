@@ -1247,3 +1247,62 @@ class CrawlEngine:
             self.image_emb.expire()
             self.ann_index.table.expire()
         return {"mode": mode, "index": r["mode"], "vectors": n_vec}
+
+    def latest_images(self) -> DataFrame:
+        """The corpus-member view of the images table: under recrawl
+        mode the table holds one appended row per fetch of the same
+        image_id, and the member is the LATEST fetch (the reference's
+        upsert-by-_id view of a re-crawled document). Without recrawl
+        the table is already one row per id and this is a no-op
+        projection."""
+        src = self.images.read(self.spark)
+        if self.recrawl_after is None:
+            return src
+        w = Window.partitionBy("image_id").orderBy(F.col("round_id").desc())
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def export_training_set(
+        self,
+        out_root: str,
+        shard_rows: int = 10_000,
+        min_entropy: float | None = None,
+        min_lap_var: float | None = None,
+        tau: int = 7,
+    ) -> dict:
+        """Publish one versioned training-set release from the crawl:
+        near-dup keepers only (the pHash keeper map maintained by
+        publish_dedup — refreshed here first if it lags the images
+        table), optional quality-threshold curation, exact fixed-row
+        shards, atomic manifest commit (trainset.py — the reference's
+        index-publish + alias-swap step re-expressed as a corpus
+        release). The export is O(corpus) by design — it materializes
+        the release — but within that bound it is one shuffle plus at
+        most one Arrow decode pass (none unless quality thresholds are
+        set), and the keeper map it consumes is maintained
+        incrementally between releases."""
+        from . import trainset
+
+        images_sid = self.images.current_snapshot_id()
+        ded_m = self.image_dedup.current_manifest()
+        ded_meta = dict((ded_m.get("meta") or {})) if ded_m else {}
+        if ded_meta.get("images_snapshot") != images_sid:
+            self.publish_dedup(tau=tau)  # bring the keeper map current
+        manifest = trainset.export_training_set(
+            self.spark,
+            self.latest_images(),
+            out_root,
+            dedup_df=self.image_dedup.read(self.spark),
+            shard_rows=shard_rows,
+            min_entropy=min_entropy,
+            min_lap_var=min_lap_var,
+            sources={
+                "images_snapshot": images_sid,
+                "image_dedup_snapshot": self.image_dedup.current_snapshot_id(),
+            },
+        )
+        trainset.expire_exports(out_root)
+        return manifest

@@ -1,0 +1,270 @@
+"""Versioned training-set export — the consumable end-product of the
+crawl: dedup keepers only, curation-filtered, packed into deterministic
+fixed-row shards with an atomic manifest.
+
+Reference parity: the reference's consumable product is a search index
+published by bulk upsert + alias swap (ElasticSearchIndexHandler.java
+bulk flush, EsService.java swapIndexInAlias); a training-data pipeline's
+consumable product is a sharded corpus release. This module re-expresses
+that publish step Spark-first: one DataFrame job curates (near-dup
+keeper anti-join + quality thresholds), assigns every surviving row an
+exact global rank WITHOUT a global sort, writes one parquet directory
+per fixed-size shard, and commits the release with a single atomic
+manifest replace (the alias-swap analogue) so readers see the previous
+release or the new one, never a partial write.
+
+Scale notes (10^10 images):
+- The whole export is ONE full-data shuffle: ranking shuffles by a
+  coarse prefix of the order key (parallel local windows, same
+  two-phase shape as relational.batch_grouping/A3 generalized to string
+  keys), the per-coarse-key offsets relation is tiny and broadcast
+  back, and the partitionBy(shard) write needs no second repartition
+  because rank shards are contiguous in shard space — each write task
+  emits files for only the few shards its coarse range covers.
+- Pixel decoding happens at most ONCE: not at all without quality
+  thresholds, and exactly once (shuffle-free Arrow stage + DISK_ONLY
+  persist of the curated rows) with them — see export_training_set.
+- Per-shard row counts and an order-independent checksum are computed
+  from a read-back of the written files (footer-cheap: only the id
+  column is scanned), so the manifest attests what actually landed.
+- Releases are immutable and versioned; expire_exports() GCs data dirs
+  no manifest references, mirroring SnapTable.expire.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .snaptable import atomic_write_json
+
+MANIFEST = "MANIFEST.json"
+
+
+def shard_by_rank(
+    df: DataFrame,
+    order_col: str,
+    shard_rows: int,
+    coarse_chars: int = 2,
+) -> DataFrame:
+    """Add an exact global-rank ``shard`` column (floor(rank/shard_rows)
+    over rows ordered by ``order_col``) without funneling the table
+    through one task: rank locally within prefix ranges of the order
+    key (a string prefix respects lexicographic order, so per-range
+    local ranks + cumulative range offsets = the exact global rank),
+    aggregate per-range counts (tiny — at most 16^coarse_chars rows for
+    hex keys), turn them into offsets with a window over the RANGE rows
+    only, and broadcast the offsets back. Two-phase shape shared with
+    relational.batch_grouping (A3), generalized from integer division
+    to string-prefix ranges."""
+    rk = F.substring(F.col(order_col), 1, coarse_chars)
+    local = df.withColumn("_rk", rk).withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_rk").orderBy(order_col)),
+    )
+    # per-range count = max local row_number, aggregated from the SAME
+    # windowed relation as the main branch (not a fresh groupBy on df):
+    # the two branches then share one canonical Exchange subtree, so
+    # ReuseExchange runs everything below the shuffle — including any
+    # upstream Arrow decode stage — exactly once
+    counts = local.groupBy("_rk").agg(F.max("_lrn").alias("_c"))
+    w_off = Window.orderBy("_rk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).select("_rk", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_rk")
+        .withColumn(
+            "shard",
+            F.floor((F.col("_off") + F.col("_lrn") - 1) / shard_rows).cast("int"),
+        )
+        .drop("_rk", "_lrn", "_off")
+    )
+
+
+_QUALITY_COLS = [
+    T.StructField("entropy", T.DoubleType(), False),
+    T.StructField("laplacian_var", T.DoubleType(), False),
+    T.StructField("contrast", T.DoubleType(), False),
+]
+
+
+def with_quality(images_df: DataFrame) -> DataFrame:
+    """Append curation stats (entropy / Laplacian variance / RMS
+    contrast, imageops.quality_stats) to full image rows in one
+    shuffle-free Arrow stage — bytes cross into Python exactly once and
+    come straight back, so the stage pipelines into whatever shuffle or
+    write follows it."""
+    out_schema = T.StructType(
+        list(images_df.schema.fields) + list(_QUALITY_COLS)
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codec import decode
+        from .ops.imageops import quality_stats
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            stats = [
+                quality_stats(decode(b, f))
+                for b, f in zip(pdf["bytes"], pdf["fmt"])
+            ]
+            for k in ("entropy", "laplacian_var", "contrast"):
+                pdf[k] = [s[k] for s in stats]
+            yield pdf[cols]
+
+    return images_df.mapInPandas(run, out_schema)
+
+
+def _read_manifest(out_root: str) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(out_root, MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def read_training_set(spark: SparkSession, out_root: str) -> DataFrame:
+    """Read the current release through its manifest (never by listing
+    out_root — a concurrent export's uncommitted data dir must stay
+    invisible, exactly like SnapTable.read)."""
+    m = _read_manifest(out_root)
+    if m is None:
+        raise FileNotFoundError(f"no training-set release at {out_root}")
+    return spark.read.parquet(os.path.join(out_root, m["data_dir"]))
+
+
+def export_training_set(
+    spark: SparkSession,
+    images_df: DataFrame,
+    out_root: str,
+    dedup_df: DataFrame | None = None,
+    shard_rows: int = 10_000,
+    min_entropy: float | None = None,
+    min_lap_var: float | None = None,
+    sources: dict | None = None,
+) -> dict:
+    """Curate + shard + atomically publish one training-set release.
+
+    images_df: full image rows (image_id, bytes, fmt, caption, ...).
+    dedup_df:  optional keeper map (image_id, is_dup) from the pHash
+               near-dup publish; rows flagged is_dup are dropped
+               (keepers and never-paired rows survive).
+    min_entropy / min_lap_var: optional curation thresholds; when set,
+               quality stats are computed inline (one decode pass) and
+               recorded as columns in the shards; when both are None the
+               export does no pixel decoding at all (use the standalone
+               image_quality op for stats without thresholds).
+    sources:   provenance to pin in the manifest (snapshot ids).
+    """
+    df = images_df
+    if dedup_df is not None:
+        flags = dedup_df.select("image_id", "is_dup")
+        df = (
+            df.join(flags, "image_id", "left")
+            .filter(~F.coalesce(F.col("is_dup"), F.lit(False)))
+            .drop("is_dup")
+        )
+    filters: dict = {}
+    persisted = None
+    if min_entropy is not None or min_lap_var is not None:
+        # The decode-backed quality stage runs ONLY when thresholds ask
+        # for it, and the curated relation is persisted to disk before
+        # ranking: shard_by_rank's offsets branch re-evaluates its input
+        # (column pruning makes its Exchange subtree differ from the
+        # main branch's, so ReuseExchange cannot merge them — verified
+        # on the executed plan), and without the persist every image
+        # would be decoded twice. DISK_ONLY materializes exactly the
+        # rows the write is about to read — the same O(release) local
+        # footprint as the rank shuffle itself. Threshold-free exports
+        # skip all of this: no decode at all, and the offsets branch's
+        # re-scan reads only the thin id column (bytes pruned).
+        from pyspark import StorageLevel
+
+        df = with_quality(df)
+        if min_entropy is not None:
+            df = df.filter(F.col("entropy") >= min_entropy)
+            filters["min_entropy"] = min_entropy
+        if min_lap_var is not None:
+            df = df.filter(F.col("laplacian_var") >= min_lap_var)
+            filters["min_lap_var"] = min_lap_var
+        persisted = df.persist(StorageLevel.DISK_ONLY)
+        df = persisted
+    df = shard_by_rank(df, "image_id", shard_rows)
+
+    prev = _read_manifest(out_root)
+    version = (prev["version"] + 1) if prev else 1
+    data_dir = f"v{version:06d}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(out_root, exist_ok=True)
+    full = os.path.join(out_root, data_dir)
+    df.write.partitionBy("shard").parquet(full)
+    if persisted is not None:
+        persisted.unpersist()
+
+    # attest what actually landed: counts + an order-independent id
+    # checksum per shard from a read-back (id column only — footers +
+    # one thin column, no image bytes decoded)
+    back = spark.read.parquet(full).select("image_id", "shard")
+    stats = (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            # bit_xor, not sum: order-independent AND overflow-free
+            # (ANSI mode makes a long-sum of random 64-bit hashes raise)
+            F.bit_xor(F.xxhash64("image_id")).alias("checksum"),
+        )
+        .collect()
+    )
+    shards = {
+        int(r["shard"]): {"rows": int(r["rows"]), "checksum": int(r["checksum"])}
+        for r in stats
+    }
+    n_rows = sum(s["rows"] for s in shards.values())
+    if shards:
+        full_shards = sorted(shards)[:-1]
+        assert all(shards[s]["rows"] == shard_rows for s in full_shards), (
+            "internal: every shard but the last must hold exactly shard_rows"
+        )
+    manifest = {
+        "version": version,
+        "data_dir": data_dir,
+        "shard_rows": shard_rows,
+        "n_rows": n_rows,
+        "n_shards": len(shards),
+        "shards": {str(k): v for k, v in sorted(shards.items())},
+        "filters": filters,
+        "sources": sources or {},
+        "previous_data_dir": prev["data_dir"] if prev else None,
+    }
+    atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
+    return manifest
+
+
+def expire_exports(out_root: str) -> int:
+    """GC every data dir the current manifest does not reference (its
+    own data plus the immediately-previous release, kept so a reader
+    that opened the old manifest just before the swap can finish).
+    Returns the number of directories removed."""
+    m = _read_manifest(out_root)
+    if m is None:
+        return 0
+    keep = {m["data_dir"], m.get("previous_data_dir")}
+    removed = 0
+    for d in os.listdir(out_root):
+        p = os.path.join(out_root, d)
+        if d != MANIFEST and os.path.isdir(p) and d not in keep:
+            shutil.rmtree(p)
+            removed += 1
+    return removed

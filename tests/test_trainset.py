@@ -1,0 +1,163 @@
+"""Training-set export (crawlspark/trainset.py + engine wiring):
+
+- shard_by_rank equals a DuckDB global row_number oracle on random
+  hex string keys (the two-phase rank introduces no global sort).
+- Engine export: near-dup twins are excluded (keepers kept), shard
+  sizes are exact, the manifest attests the written rows, a repeat
+  export is byte-deterministic, and releases version atomically with
+  GC of unreferenced data dirs.
+- Quality thresholds drop exactly the rows below them and are recorded
+  in the manifest.
+- A crashed export's orphan data dir is invisible to readers and
+  cleaned by expire_exports.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawlspark import trainset
+from crawlspark.engine import CrawlEngine
+from crawlspark.synth import SynthConfig
+
+
+def test_shard_by_rank_matches_duckdb(spark):
+    random.seed(11)
+    keys = [f"{random.getrandbits(128):032x}" for _ in range(1373)]
+    df = spark.createDataFrame(pd.DataFrame({"image_id": keys}))
+    got = (
+        trainset.shard_by_rank(df, "image_id", 100)
+        .select("image_id", "shard")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"image_id": keys}))
+    want = con.execute(
+        "SELECT image_id, CAST(floor((row_number() OVER (ORDER BY image_id) - 1)"
+        " / 100) AS INT) AS shard FROM t"
+    ).df()
+    m = got.merge(want, on="image_id", suffixes=("_g", "_w"))
+    assert len(m) == len(keys) and (m.shard_g == m.shard_w).all()
+
+
+def _twin_engine(spark, tmp_path):
+    hosts = [f"h{i}.example.com" for i in range(1, 4)]
+    base = [f"https://{hosts[i % 3]}/img/{i}" for i in range(24)]
+    mirrors = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[::3]]
+    pol = pd.DataFrame(
+        {"host": hosts + [f"mirror.{h}" for h in hosts], "budget": [1000] * 6}
+    )
+    cfg = SynthConfig(n_seeds=10, n_hosts=3, max_depth=0, fault_free=True)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wd"), cfg, politeness_pdf=pol, use_cuckoo=False
+    )
+    eng.add_seeds(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"url": base + mirrors, "depth": [0] * (len(base) + len(mirrors))}
+            )
+        )
+    )
+    eng.run(max_rounds=2)
+    return eng, base, mirrors
+
+
+def test_engine_export_dedup_shards_manifest(spark, tmp_path):
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    out = str(tmp_path / "rel")
+    man = eng.export_training_set(out, shard_rows=10)
+
+    # dedup: one row per twin pair is dropped, keepers + unpaired stay
+    assert man["version"] == 1
+    assert man["n_rows"] == len(base) + len(mirrors) - len(mirrors)
+    dup_ids = {
+        r["image_id"]
+        for r in eng.image_dedup.read(spark).filter("is_dup").collect()
+    }
+    rel = trainset.read_training_set(spark, out)
+    got_ids = {r["image_id"] for r in rel.select("image_id").collect()}
+    assert got_ids.isdisjoint(dup_ids)
+    keepers = {
+        r["keeper_id"] for r in eng.image_dedup.read(spark).collect()
+    }
+    assert keepers <= got_ids, "every keeper must survive the export"
+
+    # exact shard sizes: all but the last hold exactly shard_rows, and
+    # the manifest's per-shard attestation matches a recount
+    sizes = {int(k): v["rows"] for k, v in man["shards"].items()}
+    assert sorted(sizes) == list(range(man["n_shards"]))
+    assert all(sizes[s] == 10 for s in sorted(sizes)[:-1])
+    assert sum(sizes.values()) == man["n_rows"]
+    back = (
+        rel.groupBy("shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64("image_id")).alias("checksum"),
+        )
+        .collect()
+    )
+    for r in back:
+        rec = man["shards"][str(r["shard"])]
+        assert rec == {"rows": r["rows"], "checksum": r["checksum"]}
+
+    # determinism + versioning: a second export produces identical
+    # shard contents under a new version, and GC drops the v1 data dir
+    # only after it stops being the previous release
+    man2 = eng.export_training_set(out, shard_rows=10)
+    assert man2["version"] == 2 and man2["shards"] == man["shards"]
+    assert man2["previous_data_dir"] == man["data_dir"]
+    assert os.path.isdir(os.path.join(out, man["data_dir"]))  # kept: previous
+    man3 = eng.export_training_set(out, shard_rows=10)
+    assert man3["shards"] == man["shards"]
+    assert not os.path.isdir(os.path.join(out, man["data_dir"]))  # GC'd
+
+
+def test_export_quality_thresholds(spark, tmp_path):
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    out_all = str(tmp_path / "rel_all")
+    man_all = eng.export_training_set(out_all, shard_rows=10)
+    # pick a threshold at the median observed entropy so the filter
+    # provably drops part of the corpus, whatever the synth stats are
+    stats = (
+        trainset.with_quality(eng.latest_images())
+        .select("image_id", "entropy")
+        .toPandas()
+    )
+    thr = float(stats.entropy.median())
+    out = str(tmp_path / "rel_q")
+    man = eng.export_training_set(out, shard_rows=10, min_entropy=thr)
+    assert man["filters"] == {"min_entropy": thr}
+    assert 0 < man["n_rows"] < man_all["n_rows"]
+    rel = trainset.read_training_set(spark, out).toPandas()
+    assert (rel.entropy >= thr).all()
+    # quality columns recorded only on curated exports
+    assert "entropy" not in trainset.read_training_set(spark, out_all).columns
+    # survivor set = dedup-kept rows meeting the threshold, exactly
+    dup_ids = {
+        r["image_id"]
+        for r in eng.image_dedup.read(spark).filter("is_dup").collect()
+    }
+    want = set(stats[stats.entropy >= thr].image_id) - dup_ids
+    assert set(rel.image_id) == want
+
+
+def test_orphan_data_dir_invisible_and_gcd(spark, tmp_path):
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    out = str(tmp_path / "rel")
+    man = eng.export_training_set(out, shard_rows=10)
+    # a concurrent export that crashed after writing data but before
+    # the manifest replace leaves an orphan dir
+    orphan = os.path.join(out, "v000099-deadbeef")
+    eng.latest_images().limit(3).withColumn(
+        "shard", F.lit(0)
+    ).write.partitionBy("shard").parquet(orphan)
+    rel = trainset.read_training_set(spark, out)
+    assert rel.count() == man["n_rows"]  # reader follows the manifest
+    man2 = eng.export_training_set(out, shard_rows=10)
+    assert man2["shards"] == man["shards"]
+    assert not os.path.isdir(orphan), "expire_exports must drop orphans"
