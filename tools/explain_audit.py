@@ -56,6 +56,25 @@ def main() -> None:
     names = sys.argv[1:] or AUDITED
     spark = get_spark("local[4]", shuffle_partitions=4)
     qs = E.queries()
+
+    def _trainset_shard_plan(spark, sf):
+        # the training-set release's pre-write plan (rank shuffle +
+        # broadcast offsets over quality-annotated rows) — audited like
+        # a gate query even though the full op writes files
+        from pyspark.sql import functions as F
+
+        from crawlspark import trainset
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        rows = docs.select(
+            F.md5(F.col("doc_id").cast("string")).alias("image_id"),
+            F.col("text").cast("binary").alias("bytes"),
+        )
+        return trainset.shard_by_rank(rows, "image_id", 100)
+
+    qs = dict(qs, trainset_shard_by_rank=_trainset_shard_plan)
+    if not sys.argv[1:]:
+        names = names + ["trainset_shard_by_rank"]
     sf = "/root/testdata/sf0.001"
     for name in names:
         df = qs[name](spark, sf)
