@@ -64,7 +64,11 @@ def shard_by_rank(
     hex keys), turn them into offsets with a window over the RANGE rows
     only, and broadcast the offsets back. Two-phase shape shared with
     relational.batch_grouping (A3), generalized from integer division
-    to string-prefix ranges."""
+    to string-prefix ranges.
+
+    ``order_col`` values must be unique (image_id is, by construction):
+    with duplicates the global rank — hence which duplicate lands in
+    which shard — is not deterministic, though shard SIZES still are."""
     rk = F.substring(F.col(order_col), 1, coarse_chars)
     local = df.withColumn("_rk", rk).withColumn(
         "_lrn",

@@ -45,6 +45,50 @@ def test_shard_by_rank_matches_duckdb(spark):
     assert len(m) == len(keys) and (m.shard_g == m.shard_w).all()
 
 
+def test_shard_by_rank_fuzz_key_shapes(spark):
+    """Exact-rank property across adversarial key corpora: shared long
+    prefixes (prefix ranges collapse into few groups), mixed lengths
+    (keys shorter than coarse_chars), unicode, tiny/large shard_rows,
+    coarse_chars 1-4 — each vs the DuckDB row_number oracle. The prefix
+    range respects lexicographic order for ANY strings, so the global
+    rank must be exact everywhere, not just for uuid hex."""
+    rng = random.Random(23)
+    corpora = {
+        "shared_prefix": [
+            "img/common/prefix/" + f"{rng.getrandbits(24):06x}" for _ in range(400)
+        ],
+        "mixed_len": [
+            f"{rng.getrandbits(rng.choice([4, 16, 40, 80])):x}" for _ in range(400)
+        ],
+        "unicode": [
+            rng.choice(["ä", "z", "Z", "0", "~", "é"]) + f"{i:05d}"
+            for i, _ in enumerate(range(300))
+        ],
+    }
+    con = duckdb.connect()
+    for name, keys in corpora.items():
+        keys = sorted(set(keys))
+        rng.shuffle(keys)
+        for shard_rows, coarse in [(1, 2), (7, 1), (50, 3), (10_000, 4)]:
+            df = spark.createDataFrame(pd.DataFrame({"image_id": keys}))
+            got = (
+                trainset.shard_by_rank(df, "image_id", shard_rows, coarse_chars=coarse)
+                .select("image_id", "shard")
+                .toPandas()
+            )
+            con.register("t", pd.DataFrame({"image_id": keys}))
+            want = con.execute(
+                "SELECT image_id, CAST(floor((row_number() OVER (ORDER BY image_id)"
+                f" - 1) / {shard_rows}) AS INT) AS shard FROM t"
+            ).df()
+            m = got.merge(want, on="image_id", suffixes=("_g", "_w"))
+            assert len(m) == len(keys) and (m.shard_g == m.shard_w).all(), (
+                name,
+                shard_rows,
+                coarse,
+            )
+
+
 def _twin_engine(spark, tmp_path):
     hosts = [f"h{i}.example.com" for i in range(1, 4)]
     base = [f"https://{hosts[i % 3]}/img/{i}" for i in range(24)]
