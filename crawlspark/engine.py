@@ -1306,3 +1306,65 @@ class CrawlEngine:
         )
         trainset.expire_exports(out_root)
         return manifest
+
+    def export_training_delta(self, out_root: str, tau: int = 7) -> dict:
+        """Append a DELTA release to the series at ``out_root``: curate
+        and ship only the images fetched since the series' recorded
+        snapshot — the O(delta) release path. Any history that breaks
+        the incremental diff (rollback, expired base, table rewrite)
+        falls back to a full export over the same series, which doubles
+        as the compaction release that re-materializes the exact
+        current keeper set (dropping dups discovered between
+        already-released rows, which deltas by design never revoke)."""
+        from . import trainset
+
+        man = trainset._read_manifest(out_root)
+        if man is None:
+            raise FileNotFoundError(
+                f"no release series at {out_root}: run export_training_set first"
+            )
+        images_sid = self.images.current_snapshot_id()
+        ded_m = self.image_dedup.current_manifest()
+        ded_meta = dict((ded_m.get("meta") or {})) if ded_m else {}
+        if ded_meta.get("images_snapshot") != images_sid:
+            self.publish_dedup(tau=tau)
+        base = man.get("sources", {}).get("images_snapshot")
+        try:
+            delta = self.images.read_incremental(self.spark, int(base))
+        except (TypeError, ValueError):
+            return self.export_training_set(
+                out_root,
+                shard_rows=man["shard_rows"],
+                min_entropy=man["filters"].get("min_entropy"),
+                min_lap_var=man["filters"].get("min_lap_var"),
+                tau=tau,
+            )
+        if self.recrawl_after is not None:
+            # recrawl re-appends existing ids: a delta row is NEW only
+            # if its id was absent at the base snapshot, and within the
+            # delta the corpus member is the latest fetch per id
+            orig_cols = list(delta.columns)
+            others = [c for c in delta.columns if c not in ("image_id", "round_id")]
+            delta = (
+                delta.groupBy("image_id")
+                # round_id leads the struct: max() picks the latest fetch
+                .agg(F.max(F.struct("round_id", *others)).alias("s"))
+                .select("image_id", "s.round_id", *[f"s.{c}" for c in others])
+                .select(*orig_cols)  # keep the table's column order
+            ).join(
+                self.images.read(self.spark, int(base)).select("image_id"),
+                "image_id",
+                "left_anti",
+            )
+        manifest = trainset.export_training_delta(
+            self.spark,
+            delta,
+            out_root,
+            dedup_df=self.image_dedup.read(self.spark),
+            sources={
+                "images_snapshot": images_sid,
+                "image_dedup_snapshot": self.image_dedup.current_snapshot_id(),
+            },
+        )
+        trainset.expire_exports(out_root)
+        return manifest

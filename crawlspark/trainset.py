@@ -147,7 +147,16 @@ def read_training_set(spark: SparkSession, out_root: str) -> DataFrame:
     m = _read_manifest(out_root)
     if m is None:
         raise FileNotFoundError(f"no training-set release at {out_root}")
-    return spark.read.parquet(os.path.join(out_root, m["data_dir"]))
+    dirs = m.get("data_dirs") or [m["data_dir"]]
+    # one read per release dir, unioned BY NAME: a single multi-path
+    # read trips partition discovery (each dir has its own shard=N
+    # layout under a different base), and by-name union tolerates
+    # column-order drift between releases
+    parts = [spark.read.parquet(os.path.join(out_root, d)) for d in dirs]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def export_training_set(
@@ -181,20 +190,135 @@ def export_training_set(
             .filter(~F.coalesce(F.col("is_dup"), F.lit(False)))
             .drop("is_dup")
         )
+    df, filters, persisted = _curate(df, min_entropy, min_lap_var)
+    df = shard_by_rank(df, "image_id", shard_rows)
+
+    prev = _read_manifest(out_root)
+    version = (prev["version"] + 1) if prev else 1
+    data_dir = f"v{version:06d}-{uuid.uuid4().hex[:8]}"
+    shards = _write_release(spark, df, out_root, data_dir)
+    if persisted is not None:
+        persisted.unpersist()
+    n_rows = sum(s["rows"] for s in shards.values())
+    _assert_full_shards(shards, shard_rows)
+    manifest = {
+        "version": version,
+        "data_dir": data_dir,
+        "data_dirs": [data_dir],
+        "shard_rows": shard_rows,
+        "n_rows": n_rows,
+        "n_shards": len(shards),
+        "shards": {str(k): v for k, v in sorted(shards.items())},
+        "filters": filters,
+        "sources": sources or {},
+        "previous_data_dirs": (prev.get("data_dirs") or [prev["data_dir"]])
+        if prev
+        else [],
+    }
+    atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
+    return manifest
+
+
+def export_training_delta(
+    spark: SparkSession,
+    delta_images_df: DataFrame,
+    out_root: str,
+    dedup_df: DataFrame | None = None,
+    sources: dict | None = None,
+) -> dict:
+    """Append one DELTA release to an existing series: only the rows in
+    ``delta_images_df`` (the images added since the series' recorded
+    source snapshot) are curated and packed into NEW shards numbered
+    after the existing ones — the O(delta) analogue of the full export,
+    completing the incremental-maintenance family through the release
+    step. The series pins shard_rows and quality filters at creation so
+    every release is schema- and policy-consistent.
+
+    Near-dup semantics across releases: a delta row is shipped only if
+    (a) the current keeper map does not flag it as a dup AND (b) its
+    near-dup cluster does not intersect the already-released ids — so a
+    new image that pairs with a released one is dropped even when its
+    id would make it the cluster keeper (the cluster is already
+    represented). The released-ids relation is a thin id-column scan of
+    the prior releases (parquet column pruning: ~16 bytes/row of
+    multi-KB rows), and the keeper-map joins touch only paired rows.
+    Released shards are immutable: a dup discovered BETWEEN two already
+    -released rows is not revoked by a delta — a full export over the
+    same out_root re-materializes the exact current keeper set as a
+    compaction release.
+    """
+    prev = _read_manifest(out_root)
+    if prev is None:
+        raise FileNotFoundError(
+            f"no release series at {out_root}: run export_training_set first"
+        )
+    shard_rows = prev["shard_rows"]
+    df = delta_images_df
+    if dedup_df is not None:
+        released = read_training_set(spark, out_root).select("image_id")
+        touched = (
+            dedup_df.join(released, "image_id", "left_semi")
+            .select("keeper_id")
+            .distinct()
+        )
+        flags = dedup_df.select("image_id", "keeper_id", "is_dup")
+        df = (
+            df.join(flags, "image_id", "left")
+            .filter(~F.coalesce(F.col("is_dup"), F.lit(False)))
+            # null keeper_id (never paired) never matches → row kept
+            .join(touched, "keeper_id", "left_anti")
+            .drop("keeper_id", "is_dup")
+        )
+    df, _, persisted = _curate(
+        df, prev["filters"].get("min_entropy"), prev["filters"].get("min_lap_var")
+    )
+    version = prev["version"] + 1
+    if df.isEmpty():
+        # nothing new: advance the series' recorded sources without a
+        # data dir, so the next delta diffs from the right snapshot
+        manifest = {**prev, "version": version, "sources": sources or {}}
+        atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
+        return manifest
+    df = shard_by_rank(df, "image_id", shard_rows).withColumn(
+        "shard", (F.col("shard") + prev["n_shards"]).cast("int")
+    )
+    data_dir = f"v{version:06d}-delta-{uuid.uuid4().hex[:8]}"
+    new_shards = _write_release(spark, df, out_root, data_dir)
+    if persisted is not None:
+        persisted.unpersist()
+    _assert_full_shards(new_shards, shard_rows)
+    assert min(new_shards) == prev["n_shards"], "shard numbering must continue"
+    shards = {int(k): v for k, v in prev["shards"].items()} | new_shards
+    manifest = {
+        "version": version,
+        "data_dir": data_dir,
+        "data_dirs": (prev.get("data_dirs") or [prev["data_dir"]]) + [data_dir],
+        "shard_rows": shard_rows,
+        "n_rows": sum(s["rows"] for s in shards.values()),
+        "n_shards": len(shards),
+        "shards": {str(k): v for k, v in sorted(shards.items())},
+        "filters": prev["filters"],
+        "sources": sources or {},
+        "previous_data_dirs": prev.get("data_dirs") or [prev["data_dir"]],
+    }
+    atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
+    return manifest
+
+
+def _curate(df: DataFrame, min_entropy, min_lap_var):
+    """Optional decode-backed quality stage. The curated relation is
+    persisted to disk before ranking: shard_by_rank's offsets branch
+    re-evaluates its input (column pruning makes its Exchange subtree
+    differ from the main branch's, so ReuseExchange cannot merge them —
+    verified on the executed plan), and without the persist every image
+    would be decoded twice. DISK_ONLY materializes exactly the rows the
+    write is about to read — the same O(release) local footprint as the
+    rank shuffle itself. Threshold-free exports skip all of this: no
+    decode at all, and the offsets branch's re-scan reads only the thin
+    id column (bytes pruned)."""
     filters: dict = {}
     persisted = None
     if min_entropy is not None or min_lap_var is not None:
-        # The decode-backed quality stage runs ONLY when thresholds ask
-        # for it, and the curated relation is persisted to disk before
-        # ranking: shard_by_rank's offsets branch re-evaluates its input
-        # (column pruning makes its Exchange subtree differ from the
-        # main branch's, so ReuseExchange cannot merge them — verified
-        # on the executed plan), and without the persist every image
-        # would be decoded twice. DISK_ONLY materializes exactly the
-        # rows the write is about to read — the same O(release) local
-        # footprint as the rank shuffle itself. Threshold-free exports
-        # skip all of this: no decode at all, and the offsets branch's
-        # re-scan reads only the thin id column (bytes pruned).
         from pyspark import StorageLevel
 
         df = with_quality(df)
@@ -206,20 +330,19 @@ def export_training_set(
             filters["min_lap_var"] = min_lap_var
         persisted = df.persist(StorageLevel.DISK_ONLY)
         df = persisted
-    df = shard_by_rank(df, "image_id", shard_rows)
+    return df, filters, persisted
 
-    prev = _read_manifest(out_root)
-    version = (prev["version"] + 1) if prev else 1
-    data_dir = f"v{version:06d}-{uuid.uuid4().hex[:8]}"
+
+def _write_release(
+    spark: SparkSession, df: DataFrame, out_root: str, data_dir: str
+) -> dict:
+    """Write one release's shards and attest what actually landed:
+    counts + an order-independent id checksum per shard from a
+    read-back (id column only — footers + one thin column, no image
+    bytes decoded)."""
     os.makedirs(out_root, exist_ok=True)
     full = os.path.join(out_root, data_dir)
     df.write.partitionBy("shard").parquet(full)
-    if persisted is not None:
-        persisted.unpersist()
-
-    # attest what actually landed: counts + an order-independent id
-    # checksum per shard from a read-back (id column only — footers +
-    # one thin column, no image bytes decoded)
     back = spark.read.parquet(full).select("image_id", "shard")
     stats = (
         back.groupBy("shard")
@@ -231,40 +354,34 @@ def export_training_set(
         )
         .collect()
     )
-    shards = {
+    return {
         int(r["shard"]): {"rows": int(r["rows"]), "checksum": int(r["checksum"])}
         for r in stats
     }
-    n_rows = sum(s["rows"] for s in shards.values())
+
+
+def _assert_full_shards(shards: dict, shard_rows: int) -> None:
+    """Within one release, every shard but the last holds exactly
+    shard_rows (across a series, each release's own tail shard may be
+    partial — shards are immutable once shipped)."""
     if shards:
         full_shards = sorted(shards)[:-1]
         assert all(shards[s]["rows"] == shard_rows for s in full_shards), (
             "internal: every shard but the last must hold exactly shard_rows"
         )
-    manifest = {
-        "version": version,
-        "data_dir": data_dir,
-        "shard_rows": shard_rows,
-        "n_rows": n_rows,
-        "n_shards": len(shards),
-        "shards": {str(k): v for k, v in sorted(shards.items())},
-        "filters": filters,
-        "sources": sources or {},
-        "previous_data_dir": prev["data_dir"] if prev else None,
-    }
-    atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
-    return manifest
 
 
 def expire_exports(out_root: str) -> int:
     """GC every data dir the current manifest does not reference (its
-    own data plus the immediately-previous release, kept so a reader
-    that opened the old manifest just before the swap can finish).
-    Returns the number of directories removed."""
+    own data dirs plus the immediately-previous release's, kept so a
+    reader that opened the old manifest just before the swap can
+    finish). Returns the number of directories removed."""
     m = _read_manifest(out_root)
     if m is None:
         return 0
-    keep = {m["data_dir"], m.get("previous_data_dir")}
+    keep = set(m.get("data_dirs") or [m["data_dir"]]) | set(
+        m.get("previous_data_dirs") or []
+    )
     removed = 0
     for d in os.listdir(out_root):
         p = os.path.join(out_root, d)

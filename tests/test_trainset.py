@@ -154,7 +154,7 @@ def test_engine_export_dedup_shards_manifest(spark, tmp_path):
     # only after it stops being the previous release
     man2 = eng.export_training_set(out, shard_rows=10)
     assert man2["version"] == 2 and man2["shards"] == man["shards"]
-    assert man2["previous_data_dir"] == man["data_dir"]
+    assert man2["previous_data_dirs"] == [man["data_dir"]]
     assert os.path.isdir(os.path.join(out, man["data_dir"]))  # kept: previous
     man3 = eng.export_training_set(out, shard_rows=10)
     assert man3["shards"] == man["shards"]
@@ -188,6 +188,110 @@ def test_export_quality_thresholds(spark, tmp_path):
     }
     want = set(stats[stats.entropy >= thr].image_id) - dup_ids
     assert set(rel.image_id) == want
+
+
+def test_delta_release_series(spark, tmp_path):
+    """Full release → crawl more (mix: fresh images, a twin of a
+    RELEASED image, a fresh twin PAIR inside the delta) → delta release:
+
+    - only genuinely-new corpus members ship, in shards numbered after
+      the existing ones; released shards' attestation is unchanged
+    - a delta row pairing with a released image is dropped even when it
+      would be the cluster keeper (the cluster is already represented)
+    - a twin pair fully inside the delta ships exactly its keeper
+    - the union read equals released ∪ shipped-delta with no id overlap
+    - an empty delta advances sources without a new data dir
+    """
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    out = str(tmp_path / "rel")
+    man1 = eng.export_training_set(out, shard_rows=10)
+    released_ids = {
+        r["image_id"]
+        for r in trainset.read_training_set(spark, out).select("image_id").collect()
+    }
+    v1_ids = {
+        r["image_id"] for r in eng.latest_images().select("image_id").collect()
+    }
+
+    # delta: 5 fresh, 1 twin-of-released (base[1] was never mirrored by
+    # base[::3]), 2 fresh images that twin EACH OTHER (f0 + its mirror)
+    fresh = [f"https://h1.example.com/img/new/{i}" for i in range(5)]
+    twin_of_released = f"https://mirror.{base[1].split('://', 1)[1]}"
+    pair_in_delta = f"https://mirror.h1.example.com/img/new/0"
+    urls = fresh + [twin_of_released, pair_in_delta]
+    eng.add_seeds(
+        spark.createDataFrame(pd.DataFrame({"url": urls, "depth": [0] * len(urls)}))
+    )
+    eng.run(max_rounds=8)
+    man2 = eng.export_training_delta(out)
+    assert man2["version"] == man1["version"] + 1
+    assert len(man2["data_dirs"]) == 2
+    # shipped: 5 fresh (one of them keeper of the in-delta pair) — the
+    # released-cluster twin and the in-delta non-keeper are dropped
+    assert man2["n_rows"] == man1["n_rows"] + 5
+    for k, v in man1["shards"].items():
+        assert man2["shards"][k] == v, "released shards must be immutable"
+    new_shards = {k for k in man2["shards"] if k not in man1["shards"]}
+    assert min(int(k) for k in new_shards) == man1["n_shards"]
+
+    rel = trainset.read_training_set(spark, out).select("image_id").toPandas()
+    assert rel.image_id.nunique() == len(rel) == man2["n_rows"]
+    got = set(rel.image_id)
+    assert released_ids <= got
+    new_ids = got - released_ids
+    assert len(new_ids) == 5
+    # the dropped delta rows are exactly the two twin members
+    all_imgs = {
+        r["image_id"] for r in eng.latest_images().select("image_id").collect()
+    }
+    dropped = (all_imgs - v1_ids) - got
+    assert len(dropped) == 2  # released-cluster twin + in-delta non-keeper
+    ded = eng.image_dedup.read(spark).toPandas().set_index("image_id")
+    for d in dropped:
+        assert d in ded.index, "every dropped id must be in a near-dup cluster"
+
+    # delta with nothing new: manifest advances, no new dir
+    man3 = eng.export_training_delta(out)
+    assert man3["version"] == man2["version"] + 1
+    assert man3["data_dirs"] == man2["data_dirs"]
+    assert man3["n_rows"] == man2["n_rows"]
+
+    # a full export over the series compacts it to one dir holding the
+    # exact CURRENT keeper set — which may swap a cluster representative
+    # vs the append-only series: base[1] was released before its twin
+    # arrived, and if the twin's id sorts lower the full recompute picks
+    # the twin as keeper (the documented delta-vs-compaction semantics)
+    man4 = eng.export_training_set(out, shard_rows=10)
+    assert len(man4["data_dirs"]) == 1
+    rel4 = trainset.read_training_set(spark, out).select("image_id").toPandas()
+    cur_dups = set(ded[ded.is_dup].index)
+    assert set(rel4.image_id) == all_imgs - cur_dups
+    swapped = got ^ set(rel4.image_id)
+    assert all(d in ded.index for d in swapped), (
+        "series and compaction may differ only within near-dup clusters"
+    )
+
+
+def test_delta_falls_back_to_full_on_broken_history(spark, tmp_path):
+    """A series whose recorded base snapshot was GC'd (or any non-append
+    history) must compact via the full path, not fail or ship wrong
+    deltas."""
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    out = str(tmp_path / "rel")
+    man1 = eng.export_training_set(out, shard_rows=10)
+    # force a non-append history: expire everything but HEAD after more
+    # crawling, so read_incremental(base) raises
+    urls = [f"https://h1.example.com/img/x/{i}" for i in range(3)]
+    eng.add_seeds(
+        spark.createDataFrame(pd.DataFrame({"url": urls, "depth": [0] * 3}))
+    )
+    eng.run(max_rounds=8)
+    eng.images.expire()
+    man2 = eng.export_training_delta(out)
+    assert len(man2["data_dirs"]) == 1, "fallback must be a compaction release"
+    assert man2["n_rows"] == man1["n_rows"] + 3
+    rel = trainset.read_training_set(spark, out)
+    assert rel.select("image_id").distinct().count() == man2["n_rows"]
 
 
 def test_orphan_data_dir_invisible_and_gcd(spark, tmp_path):
