@@ -29,6 +29,11 @@ Scale notes (10^10 images):
   column is scanned), so the manifest attests what actually landed.
 - Releases are immutable and versioned; expire_exports() GCs data dirs
   no manifest references, mirroring SnapTable.expire.
+- A series grows by O(delta) releases (export_training_delta): new
+  shards append to the manifest's data-dir list, and a full export over
+  the same series is the compaction release — readers union one parquet
+  relation per release dir, so compaction cadence bounds both the dir
+  count and the union width.
 """
 
 from __future__ import annotations

@@ -9,6 +9,10 @@ separating the two export modes:
            the rank shuffle + parquet write of the image bytes
   timed B  export with quality thresholds — adds exactly one Arrow
            decode pass (behind the DISK_ONLY persist)
+  timed C  delta release after a ~2% follow-up crawl — the O(delta)
+           path: only the new rows shuffle/write, plus the thin
+           released-id scan for cross-release dedup; reported against
+           a full re-release of the same final corpus (timed D)
 
 Both modes report rows/s and MB/s over the bytes column actually
 shipped, plus the manifest attestation check (counts + checksums match
@@ -127,6 +131,27 @@ def main() -> None:
         }
         assert back == {int(k): v for k, v in man_a["shards"].items()}
 
+        # phase C/D: O(delta) release vs full re-release of the final corpus
+        nd = max(100, n_seeds // 50)
+        d_urls = [
+            f"https://{host_name(1 + i % n_hosts)}/img/delta/{i}" for i in range(nd)
+        ]
+        eng.add_seeds(
+            spark.createDataFrame(
+                pd.DataFrame({"url": d_urls, "depth": [0] * nd})
+            )
+        )
+        eng.run(max_rounds=80)
+        eng.publish_dedup()  # keeper map current: time the RELEASE path only
+        t0 = time.time()
+        man_c = eng.export_training_delta(out_a)
+        wall_c = time.time() - t0
+        delta_rows = man_c["n_rows"] - man_a["n_rows"]
+        t0 = time.time()
+        man_d = eng.export_training_set(out_a, shard_rows=shard_rows)
+        wall_d = time.time() - t0
+        assert man_d["n_rows"] == man_c["n_rows"]
+
         out = {
             "n_seeds": n_seeds,
             "n_images": n_images,
@@ -150,6 +175,12 @@ def main() -> None:
                 "rows_per_sec": round(man_b["n_rows"] / wall_b, 1),
             },
             "decode_overhead_x": round(wall_b / wall_a, 2) if wall_a > 0 else None,
+            "delta": {
+                "delta_rows": delta_rows,
+                "sec": round(wall_c, 1),
+                "full_rerelease_sec": round(wall_d, 1),
+                "speedup_x": round(wall_d / wall_c, 2) if wall_c > 0 else None,
+            },
         }
         with open(os.path.join(_REPO, "BENCH", "HISTORY_TRAINSET.jsonl"), "a") as f:
             f.write(json.dumps(out) + "\n")
