@@ -16,11 +16,17 @@ from pyspark.sql import functions as F
 
 
 def canonicalize(url: Column | str) -> Column:
-    """Canonicalize a URL column using only JVM-side built-ins."""
+    """Canonicalize a URL column using only JVM-side built-ins.
+
+    A value with no '://' separator passes through unchanged (fragment
+    still stripped) — same contract as :func:`py_canonicalize`; the
+    scheme is whatever precedes the FIRST '://' (not a charset-valid
+    scheme), again matching the Python mirror on adversarial input."""
     u = F.col(url) if isinstance(url, str) else url
     no_frag = F.substring_index(u, "#", 1)
-    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    pos = F.instr(no_frag, "://")
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    after = F.substring(no_frag, pos + 3, 1 << 30)
     authority = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
     host = (
         F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
@@ -33,13 +39,14 @@ def canonicalize(url: Column | str) -> Column:
     qpos = F.instr(path_q, "?")
     query = F.when(qpos > 0, F.substring(path_q, qpos + 1, 1 << 30)).otherwise(F.lit(""))
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
+    out = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(sorted_query != "", F.concat(F.lit("?"), sorted_query)).otherwise(F.lit("")),
     )
+    return F.when(pos > 0, out).otherwise(no_frag)
 
 
 def py_canonicalize(url: str) -> str:
@@ -78,12 +85,13 @@ def py_canonicalize(url: str) -> str:
 def canonicalize_duckdb_sql(expr: str) -> str:
     """DuckDB SQL text computing the same canonical form (driver oracle).
 
-    Assumes well-formed ``scheme://host/path?query#frag`` inputs (which is
-    what the synthetic generators emit); default-port stripping included.
-    """
+    Splits at the FIRST '://' and passes schemeless values through
+    unchanged (fragment still stripped) — bit-identical to
+    :func:`py_canonicalize` on adversarial input, not just on the
+    well-formed URLs the synthetic generators emit."""
     no_frag = f"str_split({expr}, '#')[1]"
-    scheme = f"lower(str_split({no_frag}, '://')[1])"
-    after = f"str_split({no_frag}, '://')[2]"
+    scheme = f"lower(substring({no_frag}, 1, instr({no_frag}, '://') - 1))"
+    after = f"substring({no_frag}, instr({no_frag}, '://') + 3)"
     authority = f"lower(regexp_extract({after}, '^([^/?]*)', 1))"
     host = (
         f"CASE WHEN {scheme} = 'http' THEN regexp_replace({authority}, ':80$', '') "
@@ -96,6 +104,8 @@ def canonicalize_duckdb_sql(expr: str) -> str:
     query = f"CASE WHEN instr({path_q}, '?') > 0 THEN substring({path_q}, instr({path_q}, '?') + 1) ELSE '' END"
     sorted_q = f"array_to_string(list_sort(str_split({query}, '&')), '&')"
     return (
+        f"CASE WHEN instr({no_frag}, '://') > 0 THEN "
         f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {query} <> '' THEN concat('?', {sorted_q}) ELSE '' END)"
+        f"CASE WHEN {query} <> '' THEN concat('?', {sorted_q}) ELSE '' END) "
+        f"ELSE {no_frag} END"
     )

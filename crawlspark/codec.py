@@ -207,12 +207,16 @@ def synth_image(url: str) -> dict:
     primary image, so all chain members are mutual near-dups of the
     primary, not of each other's noise."""
     base_url = url
-    scheme, rest = url.split("://", 1)
+    # schemeless URLs (canonicalize passes them through unchanged) are
+    # hashed whole; the mirror prefix then applies to the full string
+    scheme, sep, rest = url.partition("://")
+    if not sep:
+        scheme, rest = "", url
     is_mirror = rest.startswith(_MIRROR_PREFIX)
     while rest.startswith(_MIRROR_PREFIX):
         rest = rest[len(_MIRROR_PREFIX):]
     if is_mirror:
-        base_url = scheme + "://" + rest
+        base_url = scheme + sep + rest
     key = py_h60(base_url)
     w, h, fmt = dims_for(key)
     px = pixels_for(key, w, h)

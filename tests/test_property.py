@@ -123,11 +123,12 @@ def test_golden_equivalence_config_space(spark, tmp_path, name, cfg, bf, amin):
 
 
 def _fuzz_urls(n: int = 400) -> list[str]:
-    """Deterministic corpus of messy-but-schemed URLs (the engine's
-    input contract: a scheme is always present; everything after it is
-    adversarial)."""
+    """Deterministic corpus of messy URLs: mostly schemed (the engine's
+    normal input), plus schemeless values (canonicalize passes them
+    through), digit-led schemes, and a second '://' inside the path —
+    all three implementations must agree even off the happy path."""
     rng = random.Random(0xC0FFEE)
-    schemes = ["http", "https", "HTTP", "HtTpS", "ftp", "s3+x", "a-b.c"]
+    schemes = ["http", "https", "HTTP", "HtTpS", "ftp", "s3+x", "a-b.c", "1abc", ""]
     hosts = [
         "EXAMPLE.com",
         "h1.Example.COM:80",
@@ -137,7 +138,7 @@ def _fuzz_urls(n: int = 400) -> list[str]:
         "host",
         "127.0.0.1:80",
     ]
-    paths = ["", "/", "/a/b", "/a%2Fb", "/IMG/priv", "/a//b/", "/.."]
+    paths = ["", "/", "/a/b", "/a%2Fb", "/IMG/priv", "/a//b/", "/..", "/a://b"]
     queries = [
         None,
         "",
@@ -151,7 +152,9 @@ def _fuzz_urls(n: int = 400) -> list[str]:
     frags = [None, "", "frag", "f#g"]
     urls = []
     for _ in range(n):
-        u = f"{rng.choice(schemes)}://{rng.choice(hosts)}{rng.choice(paths)}"
+        s = rng.choice(schemes)
+        sep = "://" if (s or rng.random() < 0.5) else ""  # '' + no sep → schemeless
+        u = f"{s}{sep}{rng.choice(hosts)}{rng.choice(paths)}"
         q = rng.choice(queries)
         if q is not None:
             u += "?" + q
