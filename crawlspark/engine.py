@@ -1015,6 +1015,12 @@ class CrawlEngine:
         cur_meta = dict((cur_m.get("meta") or {})) if cur_m else {}
         base_sid = cur_meta.get("images_snapshot")
         mode, delta = "full", None
+        if incremental and cur_meta.get("tau") != tau:
+            # the fold identity only holds within ONE threshold: pairs
+            # banded at a new tau cannot extend keeper/n_dups state
+            # stored at another (old rows would keep the old-tau pair
+            # set) — a tau change is a full recompute by definition
+            incremental = False
         if incremental and base_sid is not None:
             try:
                 delta = self.images.read_incremental(self.spark, int(base_sid))
@@ -1114,7 +1120,10 @@ class CrawlEngine:
         ).select("image_id", "keeper_id", "n_dups", "is_dup")
         if mode == "incremental":
             self.image_dedup.merge(
-                km, ["image_id"], bucket_expr, meta={"images_snapshot": images_sid}
+                km,
+                ["image_id"],
+                bucket_expr,
+                meta={"images_snapshot": images_sid, "tau": tau},
             )
         else:
             # the full recompute is authoritative: REPLACE the table — a
@@ -1124,7 +1133,7 @@ class CrawlEngine:
                 km,
                 list(range(self.image_dedup.n_buckets)),
                 bucket_expr,
-                meta={"images_snapshot": images_sid},
+                meta={"images_snapshot": images_sid, "tau": tau},
             )
         # a publish with no new pairs commits nothing in merge(); still
         # advance the recorded base so the next publish diffs from here
@@ -1133,7 +1142,7 @@ class CrawlEngine:
             self.image_dedup.commit_dirs(
                 head["dirs"],
                 self.image_dedup.schema(),
-                {**head.get("meta", {}), "images_snapshot": images_sid},
+                {**head.get("meta", {}), "images_snapshot": images_sid, "tau": tau},
                 op="publish-meta",
             )
         if mode == "incremental":
@@ -1187,15 +1196,36 @@ class CrawlEngine:
         if n_vec is None and m is not None:
             n_vec = self.image_emb.read(self.spark).count()  # pre-counter table
         n_vec = int(n_vec or 0)
+        if mode == "incremental" and self.recrawl_after is not None and int(base) != images_sid:
+            # If any recrawled id came back with DIFFERENT content, its
+            # stored embedding is stale and keep-the-original would be
+            # silently wrong forever (the images history stays
+            # append-only, so read_incremental would never force the
+            # rebuild). Same probe as publish_dedup: content change ⇒
+            # distinct phash per id > 1 ⇒ full re-embed over the
+            # latest-fetch view. pHash is a decode-free proxy for the
+            # bytes — any pixel change that matters to the embedding
+            # moves it.
+            delta_ids = delta.select("image_id").distinct()
+            changed = (
+                self.images.read(self.spark)
+                .join(delta_ids, "image_id", "left_semi")
+                .groupBy("image_id")
+                .agg(F.countDistinct("phash").alias("k"))
+                .filter(F.col("k") > 1)
+                .limit(1)
+                .count()
+            )
+            if changed:
+                mode = "full"
         if mode == "incremental":
             if self.recrawl_after is not None and int(base) != images_sid:
                 # recrawl mode re-appends existing image_ids: embedding
                 # them again would append duplicate vec_id rows (the emb
                 # table growing O(crawls), and a later full index rebuild
                 # persisting duplicate postings). Keep only genuinely-new
-                # ids; a recrawled id keeps its original embedding (the
-                # synthetic codec's bytes are immutable per url — content
-                # refresh lands via the next full rebuild).
+                # ids; a recrawled id with UNCHANGED content (verified
+                # above) keeps its original embedding.
                 existing = self.image_emb.read(self.spark).select(
                     F.col("vec_id").alias("image_id")
                 )
@@ -1226,15 +1256,8 @@ class CrawlEngine:
                     meta={"images_snapshot": images_sid, "n_vectors": n_vec},
                 )
         else:
-            src = self.images.read(self.spark)
-            if self.recrawl_after is not None:
-                # latest fetch per id (same upsert view as publish_dedup)
-                w = Window.partitionBy("image_id").orderBy(F.col("round_id").desc())
-                src = (
-                    src.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
+            # latest fetch per id under recrawl, identity otherwise
+            src = self.latest_images()
             n_vec = src.count()
             self.image_emb.overwrite(
                 embed_images(src),
@@ -1289,8 +1312,14 @@ class CrawlEngine:
         images_sid = self.images.current_snapshot_id()
         ded_m = self.image_dedup.current_manifest()
         ded_meta = dict((ded_m.get("meta") or {})) if ded_m else {}
-        if ded_meta.get("images_snapshot") != images_sid:
-            self.publish_dedup(tau=tau)  # bring the keeper map current
+        if (
+            ded_meta.get("images_snapshot") != images_sid
+            or ded_meta.get("tau") != tau
+        ):
+            # bring the keeper map current — stale snapshot OR a keeper
+            # map maintained at a different tau (publish_dedup then does
+            # the full recompute the threshold change requires)
+            self.publish_dedup(tau=tau)
         manifest = trainset.export_training_set(
             self.spark,
             self.latest_images(),
@@ -1326,7 +1355,10 @@ class CrawlEngine:
         images_sid = self.images.current_snapshot_id()
         ded_m = self.image_dedup.current_manifest()
         ded_meta = dict((ded_m.get("meta") or {})) if ded_m else {}
-        if ded_meta.get("images_snapshot") != images_sid:
+        if (
+            ded_meta.get("images_snapshot") != images_sid
+            or ded_meta.get("tau") != tau
+        ):
             self.publish_dedup(tau=tau)
         base = man.get("sources", {}).get("images_snapshot")
         try:
