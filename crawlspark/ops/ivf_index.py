@@ -142,7 +142,20 @@ class IvfIndex:
         nearest cells per query, score exactly within probed cells only.
         The candidate scan opens ONLY the probed cells' leaf dirs — the
         union over queries, collected as at most n_cells ints (never a
-        data-scale collect)."""
+        data-scale collect).
+
+        A never-built index returns an empty result (same behavior as
+        an index built over an empty source), not a KeyError."""
+        meta = (self.table.current_manifest() or {}).get("meta") or {}
+        if not meta.get("ivf_centroids"):
+            return queries.select(
+                "qid", F.col("qid").alias("nid")
+            ).limit(0).select(
+                "qid",
+                F.lit(0).alias("rank"),
+                "nid",
+                F.lit(0.0).alias("cosine"),
+            )
         centroids = self.centroids_df(spark)
         qd = F.round(_sq_dist(F.col("embedding"), F.col("cv")), 6)
         probes = (

@@ -135,6 +135,14 @@ def with_quality(images_df: DataFrame) -> DataFrame:
     return images_df.mapInPandas(run, out_schema)
 
 
+def _dirs(m: dict) -> list[str]:
+    """A release's data dirs — [] for an empty release (data_dir None)."""
+    d = m.get("data_dirs")
+    if d is not None:
+        return list(d)
+    return [m["data_dir"]] if m.get("data_dir") else []
+
+
 def _read_manifest(out_root: str) -> dict | None:
     import json
 
@@ -152,7 +160,15 @@ def read_training_set(spark: SparkSession, out_root: str) -> DataFrame:
     m = _read_manifest(out_root)
     if m is None:
         raise FileNotFoundError(f"no training-set release at {out_root}")
-    dirs = m.get("data_dirs") or [m["data_dir"]]
+    dirs = _dirs(m)
+    if not dirs:
+        # empty release: no files were written; the manifest pins the
+        # schema so readers still get a correctly-typed frame
+        import json
+
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(m["schema"]))
+        )
     # one read per release dir, unioned BY NAME: a single multi-path
     # read trips partition discovery (each dir has its own shard=N
     # layout under a different base), and by-name union tolerates
@@ -196,10 +212,41 @@ def export_training_set(
             .drop("is_dup")
         )
     df, filters, persisted = _curate(df, min_entropy, min_lap_var)
-    df = shard_by_rank(df, "image_id", shard_rows)
 
     prev = _read_manifest(out_root)
     version = (prev["version"] + 1) if prev else 1
+    if df.isEmpty():
+        # zero survivors (nothing crawled yet, or thresholds above the
+        # corpus): publish an honest EMPTY release — partitionBy of an
+        # empty frame writes no parquet files, so the attestation
+        # read-back could not even infer a schema. The schema is pinned
+        # in the manifest so read_training_set can still return a
+        # correctly-typed empty frame.
+        if persisted is not None:
+            persisted.unpersist()
+        os.makedirs(out_root, exist_ok=True)
+        manifest = {
+            "version": version,
+            "data_dir": None,
+            "data_dirs": [],
+            "shard_rows": shard_rows,
+            "n_rows": 0,
+            "n_shards": 0,
+            "shards": {},
+            "filters": filters,
+            # pinned read schema matches a written release's: data
+            # columns plus the shard partition column (int, nullable as
+            # parquet partition discovery types it)
+            "schema": T.StructType(
+                list(df.schema.fields)
+                + [T.StructField("shard", T.IntegerType(), True)]
+            ).json(),
+            "sources": sources or {},
+            "previous_data_dirs": _dirs(prev) if prev else [],
+        }
+        atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
+        return manifest
+    df = shard_by_rank(df, "image_id", shard_rows)
     data_dir = f"v{version:06d}-{uuid.uuid4().hex[:8]}"
     shards = _write_release(spark, df, out_root, data_dir)
     if persisted is not None:
@@ -216,9 +263,7 @@ def export_training_set(
         "shards": {str(k): v for k, v in sorted(shards.items())},
         "filters": filters,
         "sources": sources or {},
-        "previous_data_dirs": (prev.get("data_dirs") or [prev["data_dir"]])
-        if prev
-        else [],
+        "previous_data_dirs": _dirs(prev) if prev else [],
     }
     atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
     return manifest
@@ -281,6 +326,8 @@ def export_training_delta(
     if df.isEmpty():
         # nothing new: advance the series' recorded sources without a
         # data dir, so the next delta diffs from the right snapshot
+        if persisted is not None:
+            persisted.unpersist()
         manifest = {**prev, "version": version, "sources": sources or {}}
         atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
         return manifest
@@ -297,14 +344,14 @@ def export_training_delta(
     manifest = {
         "version": version,
         "data_dir": data_dir,
-        "data_dirs": (prev.get("data_dirs") or [prev["data_dir"]]) + [data_dir],
+        "data_dirs": _dirs(prev) + [data_dir],
         "shard_rows": shard_rows,
         "n_rows": sum(s["rows"] for s in shards.values()),
         "n_shards": len(shards),
         "shards": {str(k): v for k, v in sorted(shards.items())},
         "filters": prev["filters"],
         "sources": sources or {},
-        "previous_data_dirs": prev.get("data_dirs") or [prev["data_dir"]],
+        "previous_data_dirs": _dirs(prev),
     }
     atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
     return manifest
@@ -397,7 +444,7 @@ def expire_exports(out_root: str) -> int:
     m = _read_manifest(out_root)
     if m is None:
         return 0
-    keep = set(m.get("data_dirs") or [m["data_dir"]]) | set(
+    keep = set(_dirs(m)) | set(
         m.get("previous_data_dirs") or []
     )
     removed = 0
