@@ -319,6 +319,13 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
         pair_cost = max(pair_cost, time.time() - t0)
         out["pairs"] += rec.get("pairs", [])
         out["best_ever_efficiency"] = rec.get("best_ever_efficiency")
+        # committed-history context so the artifact is self-contained:
+        # how many fault-free >=0.8 pairs exist across all sessions
+        out["history_pairs_ge_criterion"] = sum(
+            1
+            for p in _cluster_history()
+            if p.get("fault_free") and p.get("efficiency", 0) >= _CRITERION
+        )
         if any(
             p["efficiency"] >= _CRITERION and p.get("fault_free")
             for p in out["pairs"]
