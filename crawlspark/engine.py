@@ -1294,6 +1294,7 @@ class CrawlEngine:
         shard_rows: int = 10_000,
         min_entropy: float | None = None,
         min_lap_var: float | None = None,
+        mix: dict | None = None,
         tau: int = 7,
     ) -> dict:
         """Publish one versioned training-set release from the crawl:
@@ -1328,6 +1329,7 @@ class CrawlEngine:
             shard_rows=shard_rows,
             min_entropy=min_entropy,
             min_lap_var=min_lap_var,
+            mix=mix,
             sources={
                 "images_snapshot": images_sid,
                 "image_dedup_snapshot": self.image_dedup.current_snapshot_id(),
@@ -1360,6 +1362,21 @@ class CrawlEngine:
             or ded_meta.get("tau") != tau
         ):
             self.publish_dedup(tau=tau)
+        mix = man["filters"].get("mix")
+        if mix:
+            # a mixture is a global property: only a full re-mix over
+            # the whole corpus preserves the recorded composition
+            # (trainset.export_training_delta refuses mixed series for
+            # the same reason), so a mixed series' "delta" is always a
+            # compaction release with the series' own policy
+            return self.export_training_set(
+                out_root,
+                shard_rows=man["shard_rows"],
+                min_entropy=man["filters"].get("min_entropy"),
+                min_lap_var=man["filters"].get("min_lap_var"),
+                mix={k: mix[k] for k in ("stratum_col", "weights", "total", "salt")},
+                tau=tau,
+            )
         base = man.get("sources", {}).get("images_snapshot")
         try:
             delta = self.images.read_incremental(self.spark, int(base))

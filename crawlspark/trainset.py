@@ -188,6 +188,7 @@ def export_training_set(
     shard_rows: int = 10_000,
     min_entropy: float | None = None,
     min_lap_var: float | None = None,
+    mix: dict | None = None,
     sources: dict | None = None,
 ) -> dict:
     """Curate + shard + atomically publish one training-set release.
@@ -201,6 +202,16 @@ def export_training_set(
                recorded as columns in the shards; when both are None the
                export does no pixel decoding at all (use the standalone
                image_quality op for stats without thresholds).
+    mix:       optional data-mixing policy applied AFTER dedup and
+               curation (quotas count shippable rows): {"stratum_col":
+               str, "weights": {stratum: w}, "total": int, "salt": str}
+               — quotas_for_mix water-fills the weights into exact
+               per-stratum quotas, stratified_quota picks them
+               hash-deterministically (ops/sampling.py), and the
+               realized quotas land in the manifest. Mixed series
+               release by FULL exports only (a delta re-mix would
+               silently skew the global composition — see
+               export_training_delta).
     sources:   provenance to pin in the manifest (snapshot ids).
     """
     df = images_df
@@ -212,6 +223,22 @@ def export_training_set(
             .drop("is_dup")
         )
     df, filters, persisted = _curate(df, min_entropy, min_lap_var)
+    if mix:
+        from .ops.sampling import quotas_for_mix, stratified_quota
+
+        scol, salt = mix["stratum_col"], mix.get("salt", "")
+        counts = {r[0]: r[1] for r in df.groupBy(scol).count().collect()}
+        quotas = quotas_for_mix(counts, mix["weights"], mix["total"])
+        df = stratified_quota(
+            df, scol, quotas, "image_id", salt, counts=counts
+        )
+        filters["mix"] = {
+            "stratum_col": scol,
+            "weights": mix["weights"],
+            "total": mix["total"],
+            "salt": salt,
+            "quotas": quotas,
+        }
 
     prev = _read_manifest(out_root)
     version = (prev["version"] + 1) if prev else 1
@@ -301,6 +328,16 @@ def export_training_delta(
     if prev is None:
         raise FileNotFoundError(
             f"no release series at {out_root}: run export_training_set first"
+        )
+    if prev["filters"].get("mix"):
+        # a mixture is a GLOBAL property of the release; applying the
+        # weights to the delta alone would skew the series composition
+        # toward whatever the delta happens to contain. Mixed series
+        # re-release by full export (the compaction release re-mixes
+        # over the whole corpus with the same policy).
+        raise ValueError(
+            "series was created with a mix policy: re-release with "
+            "export_training_set (full re-mix), not a delta append"
         )
     shard_rows = prev["shard_rows"]
     df = delta_images_df

@@ -309,3 +309,58 @@ def test_orphan_data_dir_invisible_and_gcd(spark, tmp_path):
     man2 = eng.export_training_set(out, shard_rows=10)
     assert man2["shards"] == man["shards"]
     assert not os.path.isdir(orphan), "expire_exports must drop orphans"
+
+
+def test_mixed_export_quotas_and_determinism(spark, tmp_path):
+    """Data-mixing policy on the engine release path: the manifest
+    records water-filled quotas, the shipped release realizes them
+    exactly, membership is hash-deterministic across re-exports, and a
+    delta on a mixed series becomes a full re-mix compaction."""
+    import pytest
+
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    out = str(tmp_path / "rel")
+    eng.publish_dedup()  # bring the keeper map current before counting
+    # strata = image format; weights deliberately unfillable for one
+    # stratum so water-filling redistributes
+    shippable = eng.latest_images().join(
+        eng.image_dedup.read(spark).filter("is_dup").select("image_id"),
+        "image_id",
+        "left_anti",
+    )
+    counts = {r[0]: r[1] for r in shippable.groupBy("fmt").count().collect()}
+    assert len(counts) >= 2, "synth corpus must span formats"
+    rare = min(counts, key=counts.get)
+    mix = {
+        "stratum_col": "fmt",
+        "weights": {s: (10.0 if s == rare else 1.0) for s in counts},
+        "total": sum(counts.values()) - 3,
+        "salt": "mix-test",
+    }
+    man = eng.export_training_set(out, shard_rows=10, mix=mix)
+    rec = man["filters"]["mix"]
+    assert sum(rec["quotas"].values()) == man["n_rows"] == mix["total"]
+    assert rec["quotas"][rare] == counts[rare], "short stratum ships fully"
+    rel = trainset.read_training_set(spark, out)
+    got = {r[0]: r[1] for r in rel.groupBy("fmt").count().collect()}
+    assert got == {s: q for s, q in rec["quotas"].items()}
+
+    # hash-determinism: a re-export ships the identical row set
+    ids1 = {r[0] for r in rel.select("image_id").collect()}
+    man2 = eng.export_training_set(out, shard_rows=10, mix=mix)
+    assert man2["shards"] == man["shards"]
+
+    # delta on a mixed series = full re-mix (raw API refuses, engine
+    # routes to compaction with the same policy)
+    with pytest.raises(ValueError, match="mix policy"):
+        trainset.export_training_delta(spark, eng.latest_images(), out)
+    man3 = eng.export_training_delta(out)
+    assert man3["version"] == man2["version"] + 1
+    assert man3["filters"]["mix"]["quotas"] == rec["quotas"]
+    ids3 = {
+        r[0]
+        for r in trainset.read_training_set(spark, out)
+        .select("image_id")
+        .collect()
+    }
+    assert ids3 == ids1
