@@ -187,3 +187,56 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
 }
+
+
+def _shingle_expr(text_col: str, n: int) -> str:
+    """SQL expr: md5 hashes of the word ``n``-grams of ``text_col``
+    (single-space tokenization, matching the corpus convention used by
+    doc_fingerprint above). md5 keeps the shingle relation thin (32
+    bytes vs up-to-n-word strings) AND portable to the DuckDB oracle,
+    unlike xxhash64."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> md5(concat_ws(' ', slice({toks}, i, {n})))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+
+
+def decontaminate(docs_df, benchmark_df, n: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Benchmark decontamination: flag every document sharing at least
+    one word ``n``-gram with the benchmark corpus (the standard
+    pre-training hygiene step — eval questions that leaked into the
+    crawl must not be trained on). Returns ``docs_df`` plus
+    ``n_hit_shingles`` (distinct overlapping shingles) and a
+    ``contaminated`` flag; callers drop with ``filter(~contaminated)``.
+
+    Scale shape (10^10 docs vs a benchmark of ~10^5 rows): the
+    benchmark's distinct-shingle dim is tiny and BROADCAST, so the
+    corpus side is one scan → explode → broadcast semi-join; only HIT
+    (doc, shingle) rows reach the per-doc count (partial map-side agg,
+    O(contamination) not O(corpus)), and the flag join-back is a small
+    -side join AQE turns into a broadcast. No full-corpus shuffle
+    anywhere. Matching is by md5 of the shingle text — a false flag
+    needs an md5 collision (~2^-128), and false negatives are
+    impossible."""
+    sh_docs = F.expr(_shingle_expr(text_col, n))
+    sh_bench = F.expr(_shingle_expr(text_col, n))
+    bench_dim = (
+        benchmark_df.select(F.explode(sh_bench).alias("_sh")).distinct()
+    )
+    hits = (
+        docs_df.select(F.col(id_col), F.explode(sh_docs).alias("_sh"))
+        .join(F.broadcast(bench_dim), "_sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_sh").alias("n_hit_shingles"))
+    )
+    return (
+        docs_df.join(hits, id_col, "left")
+        .withColumn(
+            "n_hit_shingles", F.coalesce("n_hit_shingles", F.lit(0))
+        )
+        .withColumn("contaminated", F.col("n_hit_shingles") > 0)
+    )

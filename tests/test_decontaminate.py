@@ -1,0 +1,124 @@
+"""Benchmark decontamination (ops/text.decontaminate): DuckDB oracle
+parity on the n-gram overlap semantics, planted-leak recall, clean-doc
+precision, and the plan contract (broadcast benchmark dim, no row
+UDFs)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.ops.sampling import sample_by_rate
+from crawlspark.ops.text import decontaminate
+
+SF_DIR = "/root/testdata/sf0.001"
+N = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def bench(spark, docs):
+    """Synthetic benchmark: a deterministic 3% slice of the corpus
+    (verbatim leaks) plus one hand-planted row that copies an 8-gram
+    from a specific non-slice document."""
+    leak = sample_by_rate(docs, "doc_id", 0.03, "bench").select("text")
+    victim = (
+        sample_by_rate(docs, "doc_id", 0.97, "bench")
+        .filter(F.size(F.split("text", " ")) >= N)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    planted = " ".join(victim["text"].split(" ")[:N])
+    extra = docs.sparkSession.createDataFrame(
+        pd.DataFrame({"text": [f"benchmark question: {planted} (answer: 42)"]})
+    )
+    return leak.unionByName(extra), victim["doc_id"]
+
+
+def _duck_oracle(docs_pdf, bench_pdf):
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    con.register("benchmark", bench_pdf)
+    sh = (
+        "list_transform(generate_series(1, greatest(len(str_split({c}, ' ')) "
+        f"- {N} + 1, 0)), "
+        f"i -> md5(array_to_string(str_split({{c}}, ' ')[i:i + {N} - 1], ' ')))"
+    )
+    return con.execute(
+        f"""
+        WITH bsh AS (
+          SELECT DISTINCT unnest({sh.format(c='text')}) AS sh FROM benchmark
+        ),
+        dsh AS (
+          SELECT doc_id, unnest({sh.format(c='text')}) AS sh FROM documents
+        )
+        SELECT d.doc_id,
+               coalesce(h.n, 0) AS n_hit_shingles,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id, count(DISTINCT dsh.sh) AS n
+          FROM dsh JOIN bsh ON dsh.sh = bsh.sh GROUP BY doc_id
+        ) h USING (doc_id)
+        """
+    ).df()
+
+
+def test_decontaminate_matches_duckdb(spark, docs, bench):
+    bench_df, victim_id = bench
+    mine = (
+        decontaminate(docs, bench_df, n=N)
+        .select("doc_id", "n_hit_shingles", "contaminated")
+        .toPandas()
+    )
+    ref = _duck_oracle(
+        docs.select("doc_id", "text").toPandas(), bench_df.toPandas()
+    )
+    for df in (mine, ref):
+        df["n_hit_shingles"] = df["n_hit_shingles"].astype("int64")
+        df["contaminated"] = df["contaminated"].astype(bool)
+    pd.testing.assert_frame_equal(
+        mine.sort_values("doc_id").reset_index(drop=True),
+        ref.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert ref["contaminated"].sum() > 0
+
+
+def test_decontaminate_flags_leaks_and_plant(spark, docs, bench):
+    bench_df, victim_id = bench
+    out = decontaminate(docs, bench_df, n=N)
+    flagged = {r[0] for r in out.filter("contaminated").select("doc_id").collect()}
+    # every verbatim-leaked doc long enough to shingle is flagged
+    leaked = {
+        r[0]
+        for r in sample_by_rate(docs, "doc_id", 0.03, "bench")
+        .filter(F.size(F.split("text", " ")) >= N)
+        .select("doc_id")
+        .collect()
+    }
+    assert leaked and leaked <= flagged
+    # the planted 8-gram catches its victim even though the victim's
+    # full text never appears in the benchmark
+    assert victim_id in flagged and victim_id not in leaked
+    # dropping flagged rows leaves zero overlap (self-check)
+    clean = out.filter("NOT contaminated").select("doc_id", "text")
+    assert decontaminate(clean, bench_df, n=N).filter("contaminated").count() == 0
+
+
+def test_decontaminate_plan(spark, docs, bench):
+    bench_df, _ = bench
+    plan = (
+        decontaminate(docs, bench_df, n=N)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # benchmark shingle dim broadcast
