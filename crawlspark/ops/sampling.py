@@ -248,3 +248,36 @@ def quotas_for_mix(
         if all(capped[s] == floors[s] for s in capped):
             break  # everyone filled their share: done
     return {s: q for s, q in quotas.items() if q > 0}
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    mapping each row to the named fraction its hash falls in —
+    key-stable (the same row lands in the same split on every run,
+    engine, and cluster size; growing the corpus never moves old rows)
+    and exactly disjoint/exhaustive. Cumulative hex thresholds chain
+    the same portable predicate as sample_by_rate, so membership is
+    checkable in DuckDB with a CASE over the identical md5 prefix.
+    Leak direction is one-way by construction: resizing the LAST
+    fraction never moves rows between the earlier ones (order the dict
+    train-first, eval splits last). Pure projection — no shuffle."""
+    if not fractions or any(f <= 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be positive: {fractions}")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    h = _hkey(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = h < F.lit(hex15(min(acc, 1.0 - 1e-15)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

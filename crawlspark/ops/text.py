@@ -240,3 +240,28 @@ def decontaminate(docs_df, benchmark_df, n: int = 8, text_col: str = "text",
         )
         .withColumn("contaminated", F.col("n_hit_shingles") > 0)
     )
+
+
+# PII scrubbing: conservative patterns written in the common subset of
+# Java regex (Spark) and RE2 (DuckDB) — char classes, bounded repeats,
+# \b — so the oracle replays them verbatim. Order matters: emails are
+# redacted before phone numbers so a number inside a local-part can't
+# be half-eaten first.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[- .]\(?[0-9]{3}\)?[- .][0-9]{3}[- .][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df, text_col: str = "text"):
+    """Scrub common PII shapes (emails, separator-formed phone numbers,
+    IPv4 addresses) from ``text_col`` in place — the hygiene pass a
+    crawled corpus gets before release. Pure chained regexp_replace:
+    JVM codegen, no shuffle, no UDF; patterns are deliberately in the
+    Java-regex/RE2 common subset so tests/test_decontaminate.py replays
+    them bit-identically in DuckDB."""
+    out = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(text_col, out)

@@ -122,3 +122,45 @@ def test_decontaminate_plan(spark, docs, bench):
     )
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # benchmark shingle dim broadcast
+
+
+def test_redact_pii_matches_duckdb(spark):
+    from crawlspark.ops.text import PII_PATTERNS, redact_pii
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "contact alice.smith+work@sub.example.org today",
+                "call +1 (555) 123-4567 or 555.987.6543 now",
+                "server at 192.168.0.1 and 10.0.0.255 replied",
+                "version 1.2.3.4.5 is not an ip boundary case",
+                "mixed bob@x.io from 8.8.8.8 dial +44 207 946-0958",
+                "clean text with no pii at all",
+                "almost@an email but not: a@b (tld too short)",
+                "edge 999.999.999.999 still matches the shape",
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    mine = redact_pii(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", rows)
+    expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    ref = (
+        con.execute(f"SELECT doc_id, {expr} AS text FROM t ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mine, ref)
+    red = "\n".join(mine["text"])
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    assert "alice" not in red and "192.168" not in red
+    # the synthetic corpus is PII-free: redaction is an exact no-op
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert redact_pii(docs).exceptAll(docs).count() == 0
+    # plan: chained regexp_replace projections, no UDF, no shuffle
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan

@@ -185,3 +185,51 @@ def test_quotas_for_mix_budget_exact():
     counts = {"a": 7, "b": 7, "c": 7}
     q = quotas_for_mix(counts, {"a": 1, "b": 1, "c": 1}, 20)
     assert sum(q.values()) == 20 and all(v <= 7 for v in q.values())
+
+
+SPLITS = {"train": 0.9, "val": 0.06, "test": 0.04}
+
+
+def test_split_assign_matches_duckdb(spark, docs, duck):
+    from crawlspark.ops.sampling import split_assign
+
+    mine = split_assign(docs, "doc_id", SPLITS, SALT).select("doc_id", "split")
+    t1, t2 = hex15(0.9), hex15(0.96)
+    ref = duck.execute(
+        f"""
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '{SALT}'), 1, 15) < '{t1}'
+                    THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR) || '{SALT}'), 1, 15) < '{t2}'
+                    THEN 'val' ELSE 'test' END AS split
+        FROM documents
+        """
+    ).df()
+    pd.testing.assert_frame_equal(_norm(mine.toPandas()), _norm(ref))
+
+
+def test_split_assign_contracts(spark, docs):
+    from crawlspark.ops.sampling import split_assign
+
+    out = split_assign(docs, "doc_id", SPLITS, SALT)
+    n = docs.count()
+    got = {r[0]: r[1] for r in out.groupBy("split").count().collect()}
+    # exhaustive + disjoint (split is a single column), realized sizes
+    # near nominal
+    assert sum(got.values()) == n and set(got) == set(SPLITS)
+    assert abs(got["train"] / n - 0.9) < 0.08
+    # one-way leak safety: shrinking the LAST fraction in favor of a
+    # new tail split never moves rows between train and val
+    out2 = split_assign(
+        docs, "doc_id", {"train": 0.9, "val": 0.06, "test": 0.02, "holdout": 0.02}, SALT
+    )
+    a = {r[0]: r[1] for r in out.select("doc_id", "split").collect()}
+    b = {r[0]: r[1] for r in out2.select("doc_id", "split").collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    assert all(a[k] == "test" and b[k] == "holdout" for k in moved)
+    # invalid fractions are loud
+    with pytest.raises(ValueError):
+        split_assign(docs, "doc_id", {"train": 0.5, "val": 0.4}, SALT)
+    # no shuffle: pure projection over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
