@@ -94,10 +94,16 @@ def stratified_sample(
     codegen filter; no shuffle."""
     spark = df.sparkSession
     rows = [
-        (s, None if r >= 1.0 else (hex15(r) if r > 0.0 else ""))
+        (str(s), None if r >= 1.0 else (hex15(r) if r > 0.0 else ""))
         for s, r in rates.items()
     ]
-    dim = spark.createDataFrame(rows, f"{stratum_col} string, _thr string")
+    # build the dim as strings, then cast the key to the input column's
+    # own type so int/date strata join without implicit-cast surprises
+    dim = spark.createDataFrame(
+        rows, f"{stratum_col} string, _thr string"
+    ).withColumn(
+        stratum_col, F.col(stratum_col).cast(df.schema[stratum_col].dataType)
+    )
     if default_rate >= 1.0:
         dflt = F.lit(None).cast("string")
     elif default_rate > 0.0:
@@ -171,7 +177,11 @@ def stratified_quota(
             .join(
                 F.broadcast(
                     spark.createDataFrame(
-                        list(quotas.items()), f"{stratum_col} string, _q int"
+                        [(str(s), q) for s, q in quotas.items()],
+                        f"{stratum_col} string, _q int",
+                    ).withColumn(
+                        stratum_col,
+                        F.col(stratum_col).cast(df.schema[stratum_col].dataType),
                     )
                 ),
                 stratum_col,

@@ -233,3 +233,32 @@ def test_split_assign_contracts(spark, docs):
     # no shuffle: pure projection over the scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_int_typed_strata(spark, docs, duck):
+    """Strata need not be strings: quality buckets are ints. The dim
+    key is cast to the input column's own type, so the broadcast join
+    stays exact (no string<->int implicit-cast surprises)."""
+    from pyspark.sql import functions as F
+
+    bucketed = docs.withColumn("qb", F.floor(F.col("n_chars") / 200).cast("int"))
+    mine = stratified_quota(
+        bucketed, "qb", {0: 15, 1: 10, 2: 5}, "doc_id", SALT
+    ).select("doc_id", "qb")
+    ref = duck.execute(
+        f"""
+        SELECT doc_id, qb FROM (
+          SELECT doc_id, CAST(floor(n_chars / 200) AS INT) AS qb,
+                 row_number() OVER (
+                   PARTITION BY CAST(floor(n_chars / 200) AS INT)
+                   ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || '{SALT}'), 1, 15),
+                            CAST(doc_id AS VARCHAR)
+                 ) AS rn
+          FROM documents WHERE CAST(floor(n_chars / 200) AS INT) IN (0, 1, 2)
+        ) WHERE rn <= CASE qb WHEN 0 THEN 15 WHEN 1 THEN 10 ELSE 5 END
+        """
+    ).df()
+    assert len(ref) == 30
+    pd.testing.assert_frame_equal(_norm(mine.toPandas()), _norm(ref))
+    s = stratified_sample(bucketed, "qb", {0: 0.5, 1: 0.2}, "doc_id", SALT)
+    assert {r[0] for r in s.select("qb").distinct().collect()} <= {0, 1}
