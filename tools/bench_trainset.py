@@ -131,6 +131,27 @@ def main() -> None:
         }
         assert back == {int(k): v for k, v in man_a["shards"].items()}
 
+        # phase E: mixed release — the data-mixing policy (per-fmt
+        # uniform weights, 60% budget) on top of the plain path; the
+        # added cost is one counts agg + the prefiltered O(quota)
+        # ranking window + the flag join-back
+        out_e = os.path.join(wd, "rel_mixed")
+        fmts = [
+            r[0] for r in eng.latest_images().select("fmt").distinct().collect()
+        ]
+        mix = {
+            "stratum_col": "fmt",
+            "weights": {s: 1.0 for s in fmts},
+            "total": int(man_a["n_rows"] * 0.6),
+            "salt": "bench",
+        }
+        t0 = time.time()
+        man_e = eng.export_training_set(out_e, shard_rows=shard_rows, mix=mix)
+        wall_e = time.time() - t0
+        # budget below availability => water-filling seats it exactly
+        assert man_e["n_rows"] == mix["total"], (man_e["n_rows"], mix["total"])
+        assert sum(man_e["filters"]["mix"]["quotas"].values()) == mix["total"]
+
         # phase C/D: O(delta) release vs full re-release of the final corpus
         nd = max(100, n_seeds // 50)
         d_urls = [
@@ -190,6 +211,14 @@ def main() -> None:
                 "rows_per_sec": round(man_b["n_rows"] / wall_b, 1),
             },
             "decode_overhead_x": round(wall_b / wall_a, 2) if wall_a > 0 else None,
+            "mixed": {
+                "rows": man_e["n_rows"],
+                "sec": round(wall_e, 1),
+                "rows_per_sec": round(man_e["n_rows"] / wall_e, 1),
+                "overhead_vs_plain_x": (
+                    round(wall_e / wall_a, 2) if wall_a > 0 else None
+                ),
+            },
             "delta": {
                 "delta_rows": delta_rows,
                 "sec": round(wall_c, 1),
