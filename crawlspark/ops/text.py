@@ -265,3 +265,71 @@ def redact_pii(df, text_col: str = "text"):
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return df.withColumn(text_col, out)
+
+
+def _gram_expr(text_col: str, n: int) -> str:
+    """SQL expr: the word n-gram strings of ``text_col`` (unhashed —
+    repetition_stats groups on them; contrast _shingle_expr's md5)."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
+                     max_dup_2gram: float = 0.5, max_top_2gram: float = 0.15):
+    """Within-document repetition signals (the Gopher-rules family):
+    per doc, the fraction of 2-/3-grams that are repeats of an earlier
+    one (``dup_{2,3}gram_frac`` = 1 − distinct/total) and the fraction
+    of 2-gram slots taken by the single most frequent 2-gram
+    (``top_2gram_frac``), plus an ``is_repetitive`` flag at the given
+    thresholds — boilerplate, keyword-stuffed and looping machine text
+    score high on these while clean prose stays low.
+
+    Scale shape: the dup fractions are pure array expressions on the
+    row (no shuffle at all). Only the top-gram count groups: explode →
+    hash-agg keyed (doc, gram) — partial aggregation collapses each
+    doc's grams map-side since a doc's grams start on one row, so
+    shuffle volume is O(distinct grams), then a per-doc max and one
+    join back on the id. No row UDFs anywhere."""
+    g2, g3 = F.expr(_gram_expr(text_col, 2)), F.expr(_gram_expr(text_col, 3))
+
+    def dup_frac(g):
+        return F.round(
+            F.coalesce(
+                1.0 - F.size(F.array_distinct(g)) / F.nullif(F.size(g), F.lit(0)),
+                F.lit(0.0),
+            ),
+            4,
+        )
+
+    top = (
+        df.select(F.col(id_col), F.explode(g2).alias("_g"))
+        .groupBy(id_col, "_g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_topc"))
+    )
+    out = (
+        df.withColumn("dup_2gram_frac", dup_frac(g2))
+        .withColumn("dup_3gram_frac", dup_frac(g3))
+        .join(top, id_col, "left")
+        .withColumn(
+            "top_2gram_frac",
+            F.round(
+                F.coalesce(
+                    F.col("_topc") / F.nullif(F.size(g2), F.lit(0)), F.lit(0.0)
+                ),
+                4,
+            ),
+        )
+        .drop("_topc")
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("dup_2gram_frac") > max_dup_2gram)
+        | (F.col("top_2gram_frac") > max_top_2gram),
+    )

@@ -164,3 +164,78 @@ def test_redact_pii_matches_duckdb(spark):
     # plan: chained regexp_replace projections, no UDF, no shuffle
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_repetition_stats_matches_duckdb(spark):
+    from crawlspark.ops.text import repetition_stats
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "buy now buy now buy now buy now buy now",  # one looping 2-gram
+                "the quick brown fox jumps over the lazy dog",  # clean prose
+                "a b a b c d a b e f a b",  # frequent but diluted pair
+                "word",  # too short for any 2-gram
+                "spam spam spam spam spam spam spam spam",  # unigram loop
+                "alpha beta gamma delta epsilon zeta eta theta",  # all distinct
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    mine = (
+        repetition_stats(df)
+        .select(
+            "doc_id", "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac",
+            "is_repetitive",
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", rows)
+    gram = (
+        "CASE WHEN len(str_split(text, ' ')) >= {n} THEN "
+        "list_transform(generate_series(1, len(str_split(text, ' ')) - {n} + 1), "
+        "i -> array_to_string(str_split(text, ' ')[i:i + {n} - 1], ' ')) "
+        "ELSE [] END"
+    )
+    g2, g3 = gram.format(n=2), gram.format(n=3)
+    ref = con.execute(
+        f"""
+        WITH base AS (
+          SELECT doc_id,
+                 round(coalesce(1.0 - len(list_distinct({g2}))::DOUBLE
+                                / nullif(len({g2}), 0), 0.0), 4) AS dup_2gram_frac,
+                 round(coalesce(1.0 - len(list_distinct({g3}))::DOUBLE
+                                / nullif(len({g3}), 0), 0.0), 4) AS dup_3gram_frac,
+                 len({g2}) AS n2
+          FROM t
+        ),
+        top AS (
+          SELECT doc_id, max(c) AS topc FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest({g2}) AS g FROM t) GROUP BY doc_id, g
+          ) GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.dup_2gram_frac, b.dup_3gram_frac,
+               round(coalesce(topc::DOUBLE / nullif(n2, 0), 0.0), 4) AS top_2gram_frac,
+               (b.dup_2gram_frac > 0.5 OR
+                round(coalesce(topc::DOUBLE / nullif(n2, 0), 0.0), 4) > 0.15)
+                 AS is_repetitive
+        FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(mine, ref.reset_index(drop=True))
+    rep = dict(zip(mine["doc_id"], mine["is_repetitive"]))
+    assert rep[0] and rep[4] and not rep[1] and not rep[3] and not rep[5]
+
+    # corpus sanity: synthetic prose-like docs are mostly non-repetitive,
+    # and the op's plan has no row UDFs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = repetition_stats(docs)
+    frac = out.filter("is_repetitive").count() / docs.count()
+    assert frac < 0.5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
