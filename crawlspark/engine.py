@@ -1295,6 +1295,7 @@ class CrawlEngine:
         min_entropy: float | None = None,
         min_lap_var: float | None = None,
         mix: dict | None = None,
+        redact_captions: bool = False,
         tau: int = 7,
     ) -> dict:
         """Publish one versioned training-set release from the crawl:
@@ -1330,6 +1331,7 @@ class CrawlEngine:
             min_entropy=min_entropy,
             min_lap_var=min_lap_var,
             mix=mix,
+            redact_captions=redact_captions,
             sources={
                 "images_snapshot": images_sid,
                 "image_dedup_snapshot": self.image_dedup.current_snapshot_id(),
@@ -1375,6 +1377,7 @@ class CrawlEngine:
                 min_entropy=man["filters"].get("min_entropy"),
                 min_lap_var=man["filters"].get("min_lap_var"),
                 mix={k: mix[k] for k in ("stratum_col", "weights", "total", "salt")},
+                redact_captions=bool(man["filters"].get("redact_captions")),
                 tau=tau,
             )
         base = man.get("sources", {}).get("images_snapshot")
@@ -1386,6 +1389,7 @@ class CrawlEngine:
                 shard_rows=man["shard_rows"],
                 min_entropy=man["filters"].get("min_entropy"),
                 min_lap_var=man["filters"].get("min_lap_var"),
+                redact_captions=bool(man["filters"].get("redact_captions")),
                 tau=tau,
             )
         if self.recrawl_after is not None:

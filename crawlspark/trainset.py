@@ -189,6 +189,7 @@ def export_training_set(
     min_entropy: float | None = None,
     min_lap_var: float | None = None,
     mix: dict | None = None,
+    redact_captions: bool = False,
     sources: dict | None = None,
 ) -> dict:
     """Curate + shard + atomically publish one training-set release.
@@ -212,6 +213,10 @@ def export_training_set(
                release by FULL exports only (a delta re-mix would
                silently skew the global composition — see
                export_training_delta).
+    redact_captions: scrub PII shapes from the caption column before
+               shipping (ops/text.redact_pii — chained regexp_replace,
+               free inside the existing projection). Recorded in the
+               manifest filters; deltas inherit it from the series.
     sources:   provenance to pin in the manifest (snapshot ids).
     """
     df = images_df
@@ -239,6 +244,11 @@ def export_training_set(
             "salt": salt,
             "quotas": quotas,
         }
+    if redact_captions:
+        from .ops.text import redact_pii
+
+        df = redact_pii(df, "caption")
+        filters["redact_captions"] = True
 
     prev = _read_manifest(out_root)
     version = (prev["version"] + 1) if prev else 1
@@ -359,6 +369,11 @@ def export_training_delta(
     df, _, persisted = _curate(
         df, prev["filters"].get("min_entropy"), prev["filters"].get("min_lap_var")
     )
+    if prev["filters"].get("redact_captions"):
+        # series policy: deltas ship with the same caption hygiene
+        from .ops.text import redact_pii
+
+        df = redact_pii(df, "caption")
     version = prev["version"] + 1
     if df.isEmpty():
         # nothing new: advance the series' recorded sources without a

@@ -364,3 +364,51 @@ def test_mixed_export_quotas_and_determinism(spark, tmp_path):
         .collect()
     }
     assert ids3 == ids1
+
+
+def test_redact_captions_series(spark, tmp_path):
+    """Caption PII hygiene as a series policy: the full release ships
+    scrubbed captions, records the policy in the manifest, and deltas
+    inherit it without being asked."""
+    out = str(tmp_path / "rel_pii")
+
+    def img_rows(ids_caps):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [i for i, _ in ids_caps],
+                    "bytes": [b"\x89PNG" + i.encode() for i, _ in ids_caps],
+                    "fmt": ["png"] * len(ids_caps),
+                    "caption": [c for _, c in ids_caps],
+                }
+            )
+        )
+
+    base = img_rows(
+        [
+            ("a1", "cat photo by alice@example.com"),
+            ("a2", "clean caption with no pii"),
+            ("a3", "server 10.0.0.7 screenshot"),
+        ]
+    )
+    man = trainset.export_training_set(
+        spark, base, out, shard_rows=2, redact_captions=True
+    )
+    assert man["filters"]["redact_captions"] is True
+    caps = {
+        r["image_id"]: r["caption"]
+        for r in trainset.read_training_set(spark, out).collect()
+    }
+    assert caps["a1"] == "cat photo by <EMAIL>"
+    assert caps["a2"] == "clean caption with no pii"
+    assert caps["a3"] == "server <IP> screenshot"
+
+    delta = img_rows([("b1", "dial +1 (555) 123-4567 for prints")])
+    man2 = trainset.export_training_delta(spark, delta, out)
+    assert man2["filters"]["redact_captions"] is True
+    caps2 = {
+        r["image_id"]: r["caption"]
+        for r in trainset.read_training_set(spark, out).collect()
+    }
+    assert caps2["b1"] == "dial <PHONE> for prints"
+    assert len(caps2) == 4
