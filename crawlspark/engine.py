@@ -1376,7 +1376,7 @@ class CrawlEngine:
                 shard_rows=man["shard_rows"],
                 min_entropy=man["filters"].get("min_entropy"),
                 min_lap_var=man["filters"].get("min_lap_var"),
-                mix={k: mix[k] for k in ("stratum_col", "weights", "total", "salt")},
+                mix={k: mix[k] for k in ("stratum_col", "stratum_expr", "weights", "total", "salt") if mix.get(k) is not None},
                 redact_captions=bool(man["filters"].get("redact_captions")),
                 tau=tau,
             )

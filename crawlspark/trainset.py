@@ -232,13 +232,24 @@ def export_training_set(
         from .ops.sampling import quotas_for_mix, stratified_quota
 
         scol, salt = mix["stratum_col"], mix.get("salt", "")
+        dropped = None
+        if mix.get("stratum_expr"):
+            # derived stratum (e.g. the URL's host: parse_url(url,
+            # 'HOST')) — materialize it as a column for the quota
+            # machinery, drop it before shipping. Plain projection;
+            # costs nothing beyond the expression itself.
+            df = df.withColumn(scol, F.expr(mix["stratum_expr"]))
+            dropped = scol
         counts = {r[0]: r[1] for r in df.groupBy(scol).count().collect()}
         quotas = quotas_for_mix(counts, mix["weights"], mix["total"])
         df = stratified_quota(
             df, scol, quotas, "image_id", salt, counts=counts
         )
+        if dropped:
+            df = df.drop(dropped)
         filters["mix"] = {
             "stratum_col": scol,
+            "stratum_expr": mix.get("stratum_expr"),
             "weights": mix["weights"],
             "total": mix["total"],
             "salt": salt,

@@ -412,3 +412,35 @@ def test_redact_captions_series(spark, tmp_path):
     }
     assert caps2["b1"] == "dial <PHONE> for prints"
     assert len(caps2) == 4
+
+
+def test_mix_by_derived_host_stratum(spark, tmp_path):
+    """Mix by a DERIVED stratum (the URL's host via stratum_expr): the
+    column is materialized for the quota machinery only — quotas are
+    per-host, hosts without weights ship nothing, and the shipped
+    schema does not carry the scratch column."""
+    eng, base, mirrors = _twin_engine(spark, tmp_path)
+    eng.publish_dedup()
+    out = str(tmp_path / "rel_host")
+    hosts = [f"h{i}.example.com" for i in range(1, 4)]
+    mix = {
+        "stratum_col": "host",
+        "stratum_expr": "parse_url(url, 'HOST')",
+        "weights": {h: 1.0 for h in hosts},
+        "total": 12,
+        "salt": "hm",
+    }
+    man = eng.export_training_set(out, shard_rows=5, mix=mix)
+    rec = man["filters"]["mix"]
+    assert rec["stratum_expr"] == mix["stratum_expr"]
+    assert set(rec["quotas"]) <= set(hosts) and sum(rec["quotas"].values()) == 12
+    rel = trainset.read_training_set(spark, out)
+    assert "host" not in rel.columns
+    got = {
+        r[0]: r[1]
+        for r in rel.selectExpr("parse_url(url, 'HOST') AS h")
+        .groupBy("h")
+        .count()
+        .collect()
+    }
+    assert got == rec["quotas"], "mirror hosts (no weight) ship nothing"
