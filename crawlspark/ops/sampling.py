@@ -147,6 +147,14 @@ def stratified_quota(
     min(quota, |s|): the quota-th smallest hash landed above the
     margin, Beta-tail probability ~e^-q at margin 2) are recomputed
     without the prefilter; the escalation re-scans only those strata.
+
+    Cardinality bound: counts/quotas live in driver dicts and a
+    broadcast dim, so this op targets POLICY strata — languages,
+    formats, quality buckets, top-level domains: ≤ ~10^5 distinct
+    values. For per-HOST caps at web scale (~10^7+ strata) the right
+    tool is the politeness machinery's salted two-phase window rank
+    (politeness.select_budget) with the cap relation as a shuffle-join
+    dim — same top-k-per-key semantics, nothing through the driver.
     """
     from pyspark.sql.window import Window
 
