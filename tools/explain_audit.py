@@ -72,9 +72,41 @@ def main() -> None:
         )
         return trainset.shard_by_rank(rows, "image_id", 100)
 
-    qs = dict(qs, trainset_shard_by_rank=_trainset_shard_plan)
+    def _stratified_quota_plan(spark, sf):
+        from crawlspark.ops.sampling import stratified_quota
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return stratified_quota(
+            docs, "lang", {"en": 40, "de": 25}, "doc_id", "audit"
+        )
+
+    def _decontaminate_plan(spark, sf):
+        from crawlspark.ops.sampling import sample_by_rate
+        from crawlspark.ops.text import decontaminate
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return decontaminate(docs, sample_by_rate(docs, "doc_id", 0.03, "a"))
+
+    def _repetition_plan(spark, sf):
+        from crawlspark.ops.text import repetition_stats
+
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return repetition_stats(docs)
+
+    qs = dict(
+        qs,
+        trainset_shard_by_rank=_trainset_shard_plan,
+        sampling_stratified_quota=_stratified_quota_plan,
+        text_decontaminate=_decontaminate_plan,
+        text_repetition_stats=_repetition_plan,
+    )
     if not sys.argv[1:]:
-        names = names + ["trainset_shard_by_rank"]
+        names = names + [
+            "trainset_shard_by_rank",
+            "sampling_stratified_quota",
+            "text_decontaminate",
+            "text_repetition_stats",
+        ]
     sf = "/root/testdata/sf0.001"
     for name in names:
         df = qs[name](spark, sf)
