@@ -1288,6 +1288,92 @@ class CrawlEngine:
             .drop("_rn")
         )
 
+    # --------------------------------------------- link-graph priority
+    def link_ranks(self, iters: int = 3, damping: float = 0.85) -> DataFrame:
+        """PageRank over the crawl's link graph, derived (not stored):
+        the outlink relation is a pure function of each fetched page's
+        URL (fetch.expand_outlinks mirrors synth.py_outlinks
+        bit-for-bit), so the edge set is recomputed from the seen
+        table's 200-rows instead of persisting a links sink — zero
+        extra write volume on the crawl path, same recompute-over-store
+        trade the golden simulator relies on. Returns (url, rank) over
+        the union of crawled pages and their link targets."""
+        from .ops.linkrank import pagerank
+
+        ok = (
+            self.seen.read(self.spark)
+            .filter(F.col("status") == 200)
+            .select(
+                "url",
+                F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+                F.lit(0).cast("int").alias("depth"),
+            )
+        )
+        edges = expand_outlinks(
+            ok, self.cfg.n_hosts, self.cfg.target_space, 1, keep_src=True
+        ).select(
+            F.col("src_url").alias("src"),
+            canonicalize("dst_url").alias("dst"),
+        )
+        return pagerank(edges, iters=iters, damping=damping).select(
+            F.col("node").alias("url"), "rank"
+        )
+
+    def reprioritize(self, ranks: DataFrame) -> None:
+        """Rewrite the pending frontier's priorities from a (url, rank)
+        relation — link-structure-aware scheduling (the reference's
+        hand-configured crawl-order list, ContentfulCrawler.java:133-149,
+        generalized to a computed rank).
+
+        priority := round(rank / max(rank), 6) * (1 - 1e-6)
+                    + unit(url) * 1e-7
+        Normalized into [0, 1) so later hash-priority arrivals stay on a
+        comparable scale; the normalized-rank quantum (1e-6) dominates
+        the hash tiebreak (< 1e-7), so selection order follows rank,
+        ties broken by the original deterministic hash. Rounding at 6dp
+        makes the priority reproducible across parallelism levels (float
+        partial-agg order can differ in the last ulp). URLs absent from
+        ``ranks`` get rank 0 (pure tiebreak, below every ranked URL).
+
+        Commit discipline mirrors add_seeds: rebuild from the COMMITTED
+        frontier snapshot, all-buckets replace, then advance the round
+        manifest's frontier pointer so resume keeps the rewrite."""
+        from .hashing import unit
+
+        m = self.last_round()
+        fr_sid = m["snapshots"]["frontier"] if m is not None else None
+        if fr_sid is not None and fr_sid != self.frontier.current_snapshot_id():
+            self.frontier.rollback(fr_sid)
+        mx = ranks.agg(F.max("rank").alias("_mx"))  # 1-row, lazy
+        r = (
+            ranks.crossJoin(F.broadcast(mx))
+            .select(
+                "url",
+                (
+                    F.round(F.col("rank") / F.col("_mx"), 6) * (1.0 - 1e-6)
+                ).alias("_r"),
+            )
+        )
+        upd = (
+            self.frontier.read(self.spark, fr_sid)
+            .join(r, "url", "left")
+            .withColumn(
+                "priority",
+                F.coalesce(F.col("_r"), F.lit(0.0))
+                + unit(F.col("url"), "|prio") * 1e-7,
+            )
+            .drop("_r")
+        )
+        self.frontier.replace_buckets(
+            upd, list(range(self.frontier_buckets)), self._bucket()
+        )
+        if m is not None:
+            m["snapshots"]["frontier"] = self.frontier.current_snapshot_id()
+            atomic_write_json(
+                os.path.join(self.state_dir, f"round-{m['round_id']:06d}.json"), m
+            )
+        self._discard_presel()
+
     def export_training_set(
         self,
         out_root: str,

@@ -127,9 +127,17 @@ def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
     return ok_urls.select("url").mapInPandas(run, FETCHED_SCHEMA)
 
 
-def expand_outlinks(fetched: DataFrame, n_hosts: int, target_space: int, max_depth: int) -> DataFrame:
+def expand_outlinks(
+    fetched: DataFrame,
+    n_hosts: int,
+    target_space: int,
+    max_depth: int,
+    keep_src: bool = False,
+) -> DataFrame:
     """0-3 outlinks per fetched page (same-host biased), depth-bounded.
-    Pure built-in SQL; bit-identical to synth.py_outlinks."""
+    Pure built-in SQL; bit-identical to synth.py_outlinks.
+    ``keep_src`` additionally returns the linking page as ``src_url``
+    (the crawl's edge relation, consumed by linkrank.pagerank)."""
     h_links = h60_sql("concat(url, '|links')")
     h_same = h60_sql("concat(url, '|l', cast(_i as string))")
     h_host = h60_sql("concat(url, '|h', cast(_i as string))")
@@ -158,6 +166,7 @@ def expand_outlinks(fetched: DataFrame, n_hosts: int, target_space: int, max_dep
         F.lit("&s="),
         F.pmod(k, F.lit(7)).cast("string"),
     )
-    return df.select(
-        dst.alias("dst_url"), (F.col("depth") + 1).alias("depth")
-    )
+    cols = [dst.alias("dst_url"), (F.col("depth") + 1).alias("depth")]
+    if keep_src:
+        cols.insert(0, F.col("url").alias("src_url"))
+    return df.select(*cols)
