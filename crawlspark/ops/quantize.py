@@ -1,0 +1,98 @@
+"""Int8 embedding quantization for the ANN path.
+
+At 100 TB the embedding column dominates index storage and shuffle
+width: dim-64 float32 vectors are 256 bytes/row, symmetric int8 plus a
+per-vector scale is 68 — a 3.8× cut in scan bytes and ANN-candidate
+shuffle volume while brute-force/LSH/IVF recall stays intact (asserted
+in tests/test_quantize.py). The reference has no numeric compression
+anywhere; this is the training-pipeline analogue of its write-optimized
+sink settings (ElasticSearchUtils.java:109-118 — tune the stored form
+for the access pattern).
+
+Everything is built-in expressions (transform/aggregate/greatest) —
+JVM codegen, zero Python on the data path; quantize → dequantize
+round-trips with error ≤ scale/2 per component by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _max_abs(col: str) -> Column:
+    return F.aggregate(
+        F.col(col),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, col: str = "embedding", out: str = "q", scale_col: str = "scale"
+) -> DataFrame:
+    """Symmetric per-vector int8: scale = max|x|/127, q_i = round(x_i /
+    scale). All-zero vectors get scale 0 and an all-zero code (the
+    dequantized vector is exact for them)."""
+    scale = (_max_abs(col) / F.lit(127.0)).alias(scale_col)
+    return df.withColumn(scale_col, scale).withColumn(
+        out,
+        F.when(
+            F.col(scale_col) == 0.0,
+            F.transform(F.col(col), lambda x: F.lit(0).cast("tinyint")),
+        ).otherwise(
+            F.transform(
+                F.col(col),
+                lambda x: F.round(x.cast("double") / F.col(scale_col)).cast(
+                    "tinyint"
+                ),
+            )
+        ),
+    )
+
+
+def dequantize(df: DataFrame, q: str = "q", scale_col: str = "scale", out: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        out,
+        F.transform(
+            F.col(q), lambda v: (v.cast("double") * F.col(scale_col)).cast("float")
+        ),
+    )
+
+
+# DuckDB mirror of the quantized codes, for in-test oracle parity
+# (serialized: list cells cannot pass the driver-style row compare).
+QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       CASE WHEN scale = 0
+            THEN array_to_string(list_transform(embedding, x -> 0), ',')
+            ELSE array_to_string(
+                   list_transform(embedding,
+                                  x -> round(x::DOUBLE / scale, 0)::BIGINT),
+                   ',')
+       END AS qs
+FROM s
+"""
+
+
+def quantized_codes(spark, sf: str) -> DataFrame:
+    """Gate-shaped projection of the quantized table (scale rounded,
+    codes serialized) for the oracle-parity test."""
+    from . import load
+
+    emb = load(spark, sf, "embeddings")
+    qdf = quantize_embeddings(emb)
+    return qdf.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(
+            F.transform("q", lambda v: v.cast("long").cast("string")), ","
+        ).alias("qs"),
+    )
