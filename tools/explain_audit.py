@@ -93,12 +93,30 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
         return repetition_stats(docs)
 
+    def _pagerank_plan(spark, sf):
+        from crawlspark.ops.linkrank import link_pagerank
+
+        return link_pagerank(spark, sf)
+
+    def _packing_plan(spark, sf):
+        from crawlspark.ops.packing import pack_training_sequences
+
+        return pack_training_sequences(spark, sf)
+
+    def _quantize_plan(spark, sf):
+        from crawlspark.ops.quantize import quantized_codes
+
+        return quantized_codes(spark, sf)
+
     qs = dict(
         qs,
         trainset_shard_by_rank=_trainset_shard_plan,
         sampling_stratified_quota=_stratified_quota_plan,
         text_decontaminate=_decontaminate_plan,
         text_repetition_stats=_repetition_plan,
+        link_pagerank=_pagerank_plan,
+        pack_training_sequences=_packing_plan,
+        quantized_codes=_quantize_plan,
     )
     if not sys.argv[1:]:
         names = names + [
@@ -106,6 +124,9 @@ def main() -> None:
             "sampling_stratified_quota",
             "text_decontaminate",
             "text_repetition_stats",
+            "link_pagerank",
+            "pack_training_sequences",
+            "quantized_codes",
         ]
     sf = "/root/testdata/sf0.001"
     for name in names:
