@@ -1165,7 +1165,7 @@ class CrawlEngine:
         }
 
     # ------------------------------------------------- ANN index publish
-    def publish_ann_index(self) -> dict:
+    def publish_ann_index(self, quantize: bool = False) -> dict:
         """Post-crawl ANN index over the crawled images: embed the
         stored image bytes into the shared dim-64 space (shuffle-free
         Arrow stage, ops/imageops.embed_images) and maintain the
@@ -1265,7 +1265,9 @@ class CrawlEngine:
             )
         if n_vec == 0:
             return {"mode": mode, "index": "empty", "vectors": 0}
-        r = self.ann_index.update(self.spark, self.image_emb)
+        # quantize only matters on the index's FIRST build; thereafter
+        # the storage form is sticky in the index manifest
+        r = self.ann_index.update(self.spark, self.image_emb, quantize=quantize)
         if self.snapshot_gc:
             self.image_emb.expire()
             self.ann_index.table.expire()

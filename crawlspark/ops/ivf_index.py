@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..snaptable import BucketedTable, SnapTable
+from .quantize import dequantize, quantize_embeddings
 from .similarity import _cell_assign, _cosine_fn, _sq_dist, ivf_kmeans_centroids
 
 
@@ -40,9 +41,24 @@ class IvfIndex:
         self.n_cells = n_cells
         self.table = BucketedTable(path, n_buckets=n_cells, name="ivf_index")
 
+    @staticmethod
+    def _stored_form(assigned: DataFrame, quantize: bool) -> DataFrame:
+        """Posting-row storage form. Quantized: per-vector int8 codes +
+        scale (ops/quantize.py) — ~3.8× narrower cell scans at dim 64.
+        Assignment always happens on the fp32 source vectors (exact,
+        same as full build), only STORAGE is quantized, so the
+        incremental == full parity argument is unchanged."""
+        if not quantize:
+            return assigned.select("vec_id", "cell", "embedding")
+        return quantize_embeddings(assigned).select("vec_id", "cell", "q", "scale")
+
     # ------------------------------------------------------------ build
     def build(
-        self, spark: SparkSession, source: SnapTable, centroids: DataFrame | None = None
+        self,
+        spark: SparkSession,
+        source: SnapTable,
+        centroids: DataFrame | None = None,
+        quantize: bool = False,
     ) -> dict:
         """Full (re)build: train centroids over a bounded sample (unless
         given), assign every vector, commit all cells. Records the
@@ -54,59 +70,71 @@ class IvfIndex:
                 # centroids, every cell empty) instead of crashing
                 # inside the k-means sampler — search over it returns
                 # no rows, and a later build/update retrains normally
-                empty = emb.limit(0).select(
-                    "vec_id", F.lit(0).cast("int").alias("cell"), "embedding"
+                empty = self._stored_form(
+                    emb.limit(0).select(
+                        "vec_id", F.lit(0).cast("int").alias("cell"), "embedding"
+                    ),
+                    quantize,
                 )
                 self.table.replace_buckets(
                     empty,
                     list(range(self.n_cells)),
                     F.col("cell"),
-                    meta=self._meta([], source.current_snapshot_id()),
+                    meta=self._meta([], source.current_snapshot_id(), quantize),
                 )
                 return {"mode": "build", "cells": self.n_cells, "empty": True}
             centroids = ivf_kmeans_centroids(spark, emb, n_cells=self.n_cells)
         rows = centroids.collect()
         cent_meta = [[int(r["cell"]), [float(v) for v in r["cv"]]] for r in rows]
-        assigned = emb.join(_cell_assign(emb, centroids), "vec_id").select(
-            "vec_id", "cell", "embedding"
+        assigned = self._stored_form(
+            emb.join(_cell_assign(emb, centroids), "vec_id"), quantize
         )
         self.table.replace_buckets(
             assigned,
             list(range(self.n_cells)),
             F.col("cell"),
-            meta=self._meta(cent_meta, source.current_snapshot_id()),
+            meta=self._meta(cent_meta, source.current_snapshot_id(), quantize),
         )
-        return {"mode": "build", "cells": self.n_cells}
+        return {"mode": "build", "cells": self.n_cells, "quantized": quantize}
 
-    def update(self, spark: SparkSession, source: SnapTable) -> dict:
+    def update(
+        self, spark: SparkSession, source: SnapTable, quantize: bool = False
+    ) -> dict:
         """O(delta) maintenance: assign only the rows appended to
         ``source`` since the last build/update, under the stored
         centroids, and merge them into their cells' buckets. Falls back
         to a full rebuild when the source history is not
-        append-diffable."""
+        append-diffable. ``quantize`` applies only when this update
+        falls through to a first/full build; an existing index keeps
+        its stored form (manifest ``ivf_quantized``)."""
         m = self.table.current_manifest()
         if m is None:
-            return self.build(spark, source)
+            return self.build(spark, source, quantize=quantize)
         meta = m.get("meta") or {}
         if not meta.get("ivf_centroids"):
             # index was built over an empty source (no centroids):
             # incremental assignment has nothing to assign INTO — the
             # first real data triggers the full build/train path
-            return self.build(spark, source)
+            return self.build(spark, source, quantize=quantize)
         try:
             delta = source.read_incremental(spark, int(meta["ivf_source_snapshot"]))
         except ValueError:
-            return self.build(spark, source)  # history rewrote → retrain
+            # history rewrote → retrain (keep the stored form)
+            return self.build(
+                spark, source, quantize=bool(meta.get("ivf_quantized"))
+            )
         sid = source.current_snapshot_id()
+        quantize = bool(meta.get("ivf_quantized"))  # storage form is sticky
         delta = delta.select("vec_id", "embedding")
-        assigned = delta.join(
-            _cell_assign(delta, self.centroids_df(spark)), "vec_id"
-        ).select("vec_id", "cell", "embedding")
+        assigned = self._stored_form(
+            delta.join(_cell_assign(delta, self.centroids_df(spark)), "vec_id"),
+            quantize,
+        )
         self.table.merge(
             assigned,
             ["vec_id"],
             F.col("cell"),
-            meta=self._meta(meta["ivf_centroids"], sid),
+            meta=self._meta(meta["ivf_centroids"], sid, quantize),
         )
         # an empty delta commits nothing in merge(); still advance the
         # recorded base so the next update diffs from here
@@ -120,8 +148,12 @@ class IvfIndex:
             )
         return {"mode": "update", "source_snapshot": sid}
 
-    def _meta(self, cent: list, sid) -> dict:
-        return {"ivf_centroids": cent, "ivf_source_snapshot": sid}
+    def _meta(self, cent: list, sid, quantize: bool = False) -> dict:
+        return {
+            "ivf_centroids": cent,
+            "ivf_source_snapshot": sid,
+            "ivf_quantized": quantize,
+        }
 
     def centroids_df(self, spark: SparkSession) -> DataFrame:
         meta = (self.table.current_manifest() or {}).get("meta") or {}
@@ -170,6 +202,11 @@ class IvfIndex:
         )
         probed = sorted(int(r["cell"]) for r in probes.select("cell").distinct().collect())
         cand = self.table.read_buckets(spark, probed)
+        if meta.get("ivf_quantized"):
+            # int8 posting rows: reconstruct fp32 candidates from codes
+            # + per-vector scale — the probed-cell scan stays ~3.8×
+            # narrower; scoring is unchanged downstream
+            cand = dequantize(cand, out="embedding").drop("q", "scale")
         joined = (
             probes.join(cand.select("cell", F.col("vec_id").alias("nid"),
                                     F.col("embedding").alias("nv")), "cell")

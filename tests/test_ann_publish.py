@@ -148,3 +148,44 @@ def test_publish_ann_index_survives_crash_resume(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_publish_ann_index_quantized(spark, tmp_path):
+    """quantize=True on the first publish stores int8 posting rows; the
+    incremental re-publish inherits the form and the mirror-twin top-1
+    retrieval still holds on dequantized candidates."""
+    eng, hosts = _engine(spark, tmp_path)
+    base = [f"https://{hosts[i % 3]}/img/{i}" for i in range(20)]
+    _seed(eng, spark, base)
+
+    r1 = eng.publish_ann_index(quantize=True)
+    assert (r1["mode"], r1["index"]) == ("full", "build")
+    stored = eng.ann_index.table.read_buckets(
+        spark, list(range(eng.ann_index.n_cells))
+    )
+    assert set(stored.columns) == {"vec_id", "cell", "q", "scale"}
+    assert dict(stored.dtypes)["q"] == "array<tinyint>"
+
+    mirrors = [f"https://mirror.{u.split('://', 1)[1]}" for u in base[:6]]
+    _seed(eng, spark, mirrors)
+    r2 = eng.publish_ann_index()  # no flag: form is sticky
+    assert (r2["mode"], r2["index"]) == ("incremental", "update")
+    stored = eng.ann_index.table.read_buckets(
+        spark, list(range(eng.ann_index.n_cells))
+    )
+    assert set(stored.columns) == {"vec_id", "cell", "q", "scale"}
+
+    imgs = eng.images.read(spark).select("image_id", "url").toPandas()
+    id_by_url = dict(zip(imgs["url"], imgs["image_id"]))
+    mids = [id_by_url[py_canonicalize(u)] for u in mirrors]
+    queries = (
+        eng.image_emb.read(spark)
+        .filter(F.col("vec_id").isin(mids))
+        .selectExpr("vec_id as qid", "embedding")
+    )
+    got = eng.ann_index.search(spark, queries, n_probe=3, top_k=1).toPandas()
+    top1 = dict(zip(got["qid"], got["nid"]))
+    for mu in mirrors:
+        mid = id_by_url[py_canonicalize(mu)]
+        bid = id_by_url[py_canonicalize("https://" + mu.split("://mirror.", 1)[1])]
+        assert top1[mid] == bid, mu

@@ -113,3 +113,37 @@ def test_update_falls_back_to_rebuild_on_rewrite(spark, tmp_path):
     r = idx.update(spark, src)
     assert r["mode"] == "build"
     assert idx.table.read(spark).count() == 40
+
+
+def test_quantized_index_recall_and_storage(spark, tmp_path):
+    """quantize=True stores int8 codes + scale instead of fp32 vectors;
+    search dequantizes probed candidates and recall matches the fp32
+    index; incremental updates inherit the storage form."""
+    rng = np.random.default_rng(17)
+    pts = _clustered(rng)
+    cut = len(pts) * 2 // 3
+    src = SnapTable(str(tmp_path / "emb"))
+    src.append(_emb_df(spark, pts[:cut]))
+
+    idx = IvfIndex(str(tmp_path / "ivf_q"), n_cells=8)
+    idx.build(spark, src, quantize=True)
+    stored = idx.table.read_buckets(spark, list(range(8)))
+    assert set(stored.columns) == {"vec_id", "cell", "q", "scale"}
+    assert dict(stored.dtypes)["q"] == "array<tinyint>"
+
+    # updates keep the quantized form (sticky via manifest meta)
+    src.append(_emb_df(spark, pts[cut:], start=cut))
+    r = idx.update(spark, src)
+    assert r["mode"] == "update"
+    stored = idx.table.read_buckets(spark, list(range(8)))
+    assert stored.count() == len(pts)
+    assert set(stored.columns) == {"vec_id", "cell", "q", "scale"}
+
+    queries = _emb_df(spark, pts[:5]).selectExpr("vec_id as qid", "embedding")
+    got = idx.search(spark, queries, n_probe=2, top_k=3).toPandas()
+    hits = total = 0
+    for q in range(5):
+        truth = _truth_topk(pts, q)
+        hits += len(truth & set(got[got.qid == q].nid.tolist()))
+        total += 3
+    assert hits / total >= 0.9, f"quantized recall {hits/total:.2f}"
