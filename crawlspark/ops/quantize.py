@@ -2,9 +2,12 @@
 
 At 100 TB the embedding column dominates index storage and shuffle
 width: dim-64 float32 vectors are 256 bytes/row, symmetric int8 plus a
-per-vector scale is 68 — a 3.8× cut in scan bytes and ANN-candidate
-shuffle volume while brute-force/LSH/IVF recall stays intact (asserted
-in tests/test_quantize.py). The reference has no numeric compression
+per-vector scale is 68 — a 3.8× cut in Arrow/row width (shuffles,
+in-memory candidates) and a measured 1.8× cut in snappy-parquet
+posting bytes even on incompressible vectors (50k hash-derived dim-64:
+6.56 MB fp32 vs 3.61 MB int8; smooth real embeddings compress further)
+while brute-force/LSH/IVF recall stays intact (asserted in
+tests/test_quantize.py). The reference has no numeric compression
 anywhere; this is the training-pipeline analogue of its write-optimized
 sink settings (ElasticSearchUtils.java:109-118 — tune the stored form
 for the access pattern).
