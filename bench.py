@@ -346,9 +346,13 @@ def _cluster_history() -> list[dict]:
         with open(path) as f:
             for line in f:
                 try:
-                    rows.append(json.loads(line))
+                    row = json.loads(line)
                 except ValueError:
                     continue
+                # the history may hold annotation lines (e.g. a
+                # builder-contamination note); only pair rows count
+                if "efficiency" in row:
+                    rows.append(row)
     except OSError:
         pass
     return rows

@@ -114,9 +114,11 @@ def main() -> None:
     with open(hist) as f:
         for ln in f:
             try:
-                allp.append(json.loads(ln))
+                row = json.loads(ln)
             except ValueError:
-                pass
+                continue
+            if "efficiency" in row:  # skip annotation/note lines
+                allp.append(row)
     best = max(allp, key=lambda p: p["efficiency"])
     md = [
         "# BENCH/CLUSTER — N vs 4N separate-executor-JVM scaling",
