@@ -15,7 +15,7 @@ from crawlspark.session import get_spark  # noqa: E402
 from crawlspark.synth import SynthConfig, gen_seeds, host_name  # noqa: E402
 
 
-def main(master: str, workdir: str, out_csv: str) -> None:
+def main(master: str, workdir: str, out_csv: str, mode: str = "plain") -> None:
     cfg = SynthConfig(n_seeds=60, n_hosts=5, max_depth=1)
     seeds = gen_seeds(cfg)
     pol = pd.DataFrame(
@@ -32,6 +32,13 @@ def main(master: str, workdir: str, out_csv: str) -> None:
     )
     eng = CrawlEngine(spark, workdir, cfg, politeness_pdf=pol, cuckoo_pg=4)
     eng.add_seeds(spark.createDataFrame(seeds))
+    if mode == "reprioritize":
+        # two rounds on hash priority, then PageRank over the crawled
+        # link graph rewrites pending priorities — the rest of the
+        # crawl follows link structure. Must stay bit-identical across
+        # parallelism levels like the plain path.
+        eng.run(max_rounds=2)
+        eng.reprioritize(eng.link_ranks())
     eng.run(max_rounds=25)
     log = (
         eng.fetch_log.read(spark)
@@ -46,4 +53,4 @@ def main(master: str, workdir: str, out_csv: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], sys.argv[3])
+    main(sys.argv[1], sys.argv[2], sys.argv[3], *sys.argv[4:5])
