@@ -144,6 +144,7 @@ class CrawlEngine:
         recrawl_after: int | None = None,
         snapshot_gc: bool = True,
         frontier_buckets: int = 32,
+        reprioritize_every: int | None = None,
     ) -> None:
         from .synth import gen_politeness, gen_robots
 
@@ -151,6 +152,11 @@ class CrawlEngine:
         self.workdir = workdir
         self.cfg = cfg
         self.use_cuckoo = use_cuckoo
+        # link-structure-aware scheduling: every k committed rounds,
+        # PageRank over the crawled link graph rewrites the pending
+        # frontier's priorities (link_ranks + reprioritize). Opt-in —
+        # the default hash-priority crawl is the golden-pinned order.
+        self.reprioritize_every = reprioritize_every
         # "auto" (default): engage the filter only once the seen table
         # holds >= cuckoo_auto_min rows. Below that the exact anti-join
         # is a cheap broadcast/shuffle and the filter machinery (Arrow
@@ -930,6 +936,12 @@ class CrawlEngine:
             start = self.resume()
             outstanding = {nb for nb in self._outstanding_rounds()}
             outstanding = {max(nb, start) for nb in outstanding}
+            # a kill between a round's commit and its due priority
+            # rewrite must not lose the rewrite: resume() restored the
+            # committed state, so applying it now equals the
+            # uninterrupted run bit-for-bit
+            if self._auto_reprioritize_due():
+                self.reprioritize(self.link_ranks())
         else:
             start = 0
             outstanding = {0}
@@ -944,6 +956,8 @@ class CrawlEngine:
             c = self.run_round(r)
             results.append(c)
             executed += 1
+            if self._auto_reprioritize_due():
+                self.reprioritize(self.link_ranks())
             outstanding = {nb for nb in outstanding if nb > r}
             outstanding.update(c["future_rounds"])
         # a speculative selection for a round we never ran would
@@ -1371,10 +1385,28 @@ class CrawlEngine:
         )
         if m is not None:
             m["snapshots"]["frontier"] = self.frontier.current_snapshot_id()
+            # one atomic manifest update carries BOTH the new frontier
+            # pointer and the hook marker: resume() re-applies the
+            # rewrite iff the marker is absent (crash before/during the
+            # rewrite), and the re-application is deterministic because
+            # link_ranks is a pure function of the committed seen table
+            m["reprioritized"] = True
             atomic_write_json(
                 os.path.join(self.state_dir, f"round-{m['round_id']:06d}.json"), m
             )
         self._discard_presel()
+
+    def _auto_reprioritize_due(self) -> bool:
+        """True when the every-k hook is due after the last committed
+        round and has not been applied (resume-safe idempotence)."""
+        if not self.reprioritize_every:
+            return False
+        m = self.last_round()
+        return (
+            m is not None
+            and (m["round_id"] + 1) % self.reprioritize_every == 0
+            and not m.get("reprioritized")
+        )
 
     def export_training_set(
         self,

@@ -91,3 +91,54 @@ def test_reprioritize_survives_resume_and_keeps_coverage(crawled, spark, tmp_pat
     s_re = set(r["url"] for r in eng2.seen.read(spark).select("url").collect())
     s_pl = set(r["url"] for r in plain.seen.read(spark).select("url").collect())
     assert s_re == s_pl
+
+
+def test_auto_reprioritize_every_and_resume_equivalence(spark, tmp_path):
+    """reprioritize_every=k: the hook fires after every k committed
+    rounds, and a kill between a round's commit and its due rewrite
+    (simulated: run k rounds WITHOUT the hook, resume WITH it) replays
+    to the bit-identical final state of the uninterrupted run."""
+    cfg = SynthConfig(n_seeds=60, n_hosts=6, max_depth=1)
+    pol = _pol()
+
+    # A: uninterrupted, hook from the start
+    a = CrawlEngine(
+        spark, str(tmp_path / "a"), cfg, politeness_pdf=pol,
+        use_cuckoo=False, reprioritize_every=2,
+    )
+    a.add_seeds(spark.createDataFrame(gen_seeds(cfg)))
+    a.run(max_rounds=40)
+    # the hook is guaranteed after round 1 ((1+1) % 2 == 0)
+    import json
+    import os
+
+    with open(os.path.join(a.state_dir, "round-000001.json")) as f:
+        assert json.load(f).get("reprioritized"), "hook never fired"
+
+    # B: rounds 0..1 committed with NO hook (the crash window), then a
+    # fresh engine with the hook resumes — run() applies the missed
+    # rewrite before continuing
+    b0 = CrawlEngine(
+        spark, str(tmp_path / "b"), cfg, politeness_pdf=pol, use_cuckoo=False,
+    )
+    b0.add_seeds(spark.createDataFrame(gen_seeds(cfg)))
+    b0.run(max_rounds=40, stop_after=2)
+    assert not b0.last_round().get("reprioritized")
+    b = CrawlEngine(
+        spark, str(tmp_path / "b"), cfg, politeness_pdf=pol,
+        use_cuckoo=False, reprioritize_every=2,
+    )
+    b.run(max_rounds=40)
+
+    la = (
+        a.fetch_log.read(spark).toPandas()
+        .sort_values(["round_id", "host", "rank"]).reset_index(drop=True)
+    )
+    lb = (
+        b.fetch_log.read(spark).toPandas()
+        .sort_values(["round_id", "host", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(la, lb)
+    sa = a.seen.read(spark).toPandas().sort_values("url").reset_index(drop=True)
+    sb = b.seen.read(spark).toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sa, sb)
