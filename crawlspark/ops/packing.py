@@ -50,6 +50,10 @@ def pack_sequences(
     Docs with zero/negative tokens are dropped (they occupy no stream
     positions and would alias the next doc's offset).
     """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive: {shards}")
     w = Window.partitionBy("shard").orderBy("_mix", id_col)
     return (
         df.select(

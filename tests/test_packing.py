@@ -72,3 +72,13 @@ def test_parallelism_invariance(spark):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_rejects_degenerate_parameters(spark):
+    from crawlspark.ops.packing import pack_sequences
+
+    docs = spark.range(3).selectExpr("id AS doc_id", "1 AS tokens")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, shards=0)
