@@ -248,6 +248,22 @@ class CrawlEngine:
         self.robots = spark.createDataFrame(
             rp, schema="host string, path_prefix string"
         )
+        # per-host crawl cool-down (SURVEY §7.1 politeness.min_delay,
+        # generalizing the reference's RateLimiter, ContentfulRestore
+        # .java:46): a host SELECTED in round r is ineligible until
+        # round r + min_delay. Only hosts with min_delay > 1 need
+        # tracking; the dict is bounded by the politeness dim (small by
+        # design — it broadcasts), and the per-host last-selected round
+        # rides the round manifest so cool-down state is resume-exact.
+        self._min_delay: dict[str, int] = {}
+        if "min_delay" in getattr(pp, "columns", []):
+            self._min_delay = {
+                str(h): int(d)
+                for h, d in zip(pp["host"], pp["min_delay"])
+                if int(d) > 1
+            }
+            pp = pp[["host", "budget"]]
+        self._host_last: dict[str, int] = {}
         self.politeness = spark.createDataFrame(pp, schema="host string, budget int")
 
     # ----------------------------------------------------------- state
@@ -275,6 +291,7 @@ class CrawlEngine:
             },
             "cuckoo_upto": self._cuckoo_upto,
             "seen_rows": self._seen_rows,
+            "host_last": dict(self._host_last),
             "counters": counters,
             "lineage": lineage,
         }
@@ -307,6 +324,9 @@ class CrawlEngine:
         self.cuckoo.table.rollback(snaps["cuckoo"])
         self._cuckoo_upto = m.get("cuckoo_upto", -1)
         self._seen_rows = m.get("seen_rows", 0)
+        self._host_last = {
+            str(h): int(v) for h, v in (m.get("host_last") or {}).items()
+        }
         return m["round_id"] + 1
 
     # ------------------------------------------------------------ seeds
@@ -471,10 +491,22 @@ class CrawlEngine:
         # concurrent appends below cannot shift what this round sees)
         seen_df = self.seen.read(self.spark)
 
+        # min_delay cool-down: hosts selected within the last d rounds
+        # are ineligible THIS round — their pending rows are untouched
+        # (no robots marking, no budget), exactly the golden semantics.
+        # The filter is a literal isin over the (small) cooling set.
+        cooling = {
+            h: self._host_last[h] + d
+            for h, d in self._min_delay.items()
+            if h in self._host_last and self._host_last[h] + d > round_id
+        }
+
         # reuse the speculative selection computed under the PREVIOUS
         # round's fetch stage if it targeted this round (it pinned the
         # frontier snapshot right after that round's frontier commit —
-        # exactly what this round would read); else build it now
+        # exactly what this round would read); else build it now.
+        # (Speculation is disabled under min_delay — see its gate: the
+        # cooling set depends on this round's selections.)
         ps, self._presel = self._presel, None
         if ps is not None and ps["round_id"] == round_id:
             pending, denied, selected = ps["pending"], ps["denied"], ps["selected"]
@@ -483,11 +515,12 @@ class CrawlEngine:
             if ps is not None:  # stale speculation: drop its caches
                 for k in ("pending", "denied", "selected"):
                     ps[k].unpersist()
-            pending = (
-                self.frontier.read(self.spark)
-                .filter(F.col("not_before") <= round_id)
-                .cache()
+            pending = self.frontier.read(self.spark).filter(
+                F.col("not_before") <= round_id
             )
+            if cooling:
+                pending = pending.filter(~F.col("host").isin(list(cooling)))
+            pending = pending.cache()
             allowed, denied = filter_robots(pending, self.robots)
             denied = denied.cache()
             selected = with_status(
@@ -751,6 +784,31 @@ class CrawlEngine:
             counters = self._make_counters(
                 round_id, stats, n_pending, n_denied, n_due, n_dirty, n_front_rows
             )
+            if self._min_delay:
+                # record delay-hosts contacted this round (any status —
+                # a 504 consumed the host's attention too); tiny collect
+                # bounded by the politeness dim. Runs BEFORE the round
+                # commit so the manifest carries the updated state.
+                touched_hosts = (
+                    selected.filter(F.col("host").isin(list(self._min_delay)))
+                    .select("host")
+                    .distinct()
+                    .collect()
+                )
+                for row in touched_hosts:
+                    self._host_last[str(row["host"])] = round_id
+                # cooled-off hosts come due at last+d: schedule those
+                # rounds so run() cannot stop while their work is held
+                # back by the cool-down alone
+                nxt = {
+                    self._host_last[h] + d
+                    for h, d in self._min_delay.items()
+                    if h in self._host_last
+                    and self._host_last[h] + d > round_id
+                }
+                counters["future_rounds"] = sorted(
+                    set(counters["future_rounds"]) | nxt
+                )
             # seen-table growth this round (200s + permanent fails +
             # robots-denied; retries stay in the frontier). Upper bound
             # under recrawl MERGE (rewrites counted as appends) — fine
@@ -765,7 +823,7 @@ class CrawlEngine:
                 + (counters["failed_504"] - retries_sched)
                 + counters["denied"]
             )
-            if round_id + 1 in counters["future_rounds"]:
+            if round_id + 1 in counters["future_rounds"] and not self._min_delay:
                 # SPECULATIVE NEXT-ROUND SELECTION: the frontier commit
                 # for round_id+1 just landed (f_front), and selection
                 # depends on nothing else — pin it and fill its caches

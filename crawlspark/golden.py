@@ -53,8 +53,13 @@ def simulate(
     cfg: SynthConfig,
     max_rounds: int = 1000,
     budget_fn=None,
+    min_delay_fn=None,
 ) -> GoldenResult:
+    """``min_delay_fn(hostid) -> d`` (optional): a host selected in
+    round r is untouched (no robots marking, no budget) until round
+    r + d — the T3 rate-limit generalized to a per-host cool-down."""
     budget_fn = budget_fn or (lambda hostid: budget_for_hostid(hostid))
+    host_last: dict[str, int] = {}
     # frontier entries: url -> (retry_count, not_before, depth)
     frontier: dict[str, tuple[int, int, int]] = {}
     for u in seeds:
@@ -81,6 +86,10 @@ def simulate(
         ready = []
         for u, rc, dep in pending:
             host = _host_of(u)
+            if min_delay_fn is not None:
+                d = min_delay_fn(_hostid(host))
+                if d > 1 and host in host_last and host_last[host] + d > r:
+                    continue  # cooling: rows untouched this round
             path = "/" + u.split("://", 1)[1].split("/", 1)[1]
             if robots_denied(host) and path.startswith("/img/priv"):
                 seen[u] = (ROBOTS_DENIED_STATUS, r)
@@ -97,6 +106,8 @@ def simulate(
             rows.sort(key=lambda t: (-py_priority(t[0]), t[0]))
             for rank, (u, rc, dep) in enumerate(rows[:budget], start=1):
                 selected.append((host, rank, u, rc, dep))
+        for host, _rank, _u, _rc, _dep in selected:
+            host_last[host] = r
         # fetch
         for host, rank, u, rc, dep in selected:
             status = 200 if cfg.fault_free else py_status(u, rc)
