@@ -75,6 +75,7 @@ def _registry():
         querysurface,
         relational,
         similarity,
+        sitemap,
         streaming,
         text,
     )
@@ -94,6 +95,7 @@ def _registry():
         querysurface,
         text,
         similarity,
+        sitemap,
         multimodal,
         imageops,
     ]
@@ -118,7 +120,15 @@ def _registry():
     # by tests/test_imageops.py + the golden PSNR/caption tests, so a
     # rows-only driver row adds the least information of all —
     # images_from_documents leads the tail as the broadest codec gate).
+    # Oracle-backed gates added AFTER the window filled (round 4+) go in
+    # the tail and MUST name the pytest that runs their oracle parity —
+    # the driver never records them, so the test is their hard evidence
+    # (same pattern as tests/test_retired_gates.py for retired gates).
+    tail_oracle_pytested = {
+        "sitemap_extract": "tests/test_sitemap.py::test_oracle_parity",
+    }
     tail = [
+        *tail_oracle_pytested,
         "images_from_documents",
         "images_decode_check",
         "images_thumbnail",
@@ -132,11 +142,14 @@ def _registry():
         queries[name] = queries.pop(name)
         if name in oracles:
             oracles[name] = oracles.pop(name)
-    n_oracle_backed = sum(1 for n in queries if n in oracles)
     first_50 = list(queries)[:50]
-    assert n_oracle_backed == 50 and all(n in oracles for n in first_50), (
+    beyond = [n for n in list(queries)[50:] if n in oracles]
+    assert all(n in oracles for n in first_50) and all(
+        n in tail_oracle_pytested for n in beyond
+    ), (
         "driver window contract broken: the first 50 registry entries "
-        "must be exactly the oracle-backed gates"
+        "must all be oracle-backed, and any oracle-backed gate beyond "
+        "the window must carry a pytest running its oracle"
     )
     return queries, oracles
 
