@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry():
     from crawlspark.ops import (
+        alignment,
         crawlops,
         dedup,
         docpipe,
@@ -98,6 +99,7 @@ def _registry():
         sitemap,
         multimodal,
         imageops,
+        alignment,
     ]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -137,6 +139,7 @@ def _registry():
         "images_near_dup_keepers",
         "image_quality",
         "frames_sample",
+        "caption_alignment",
     ]
     for name in tail:
         queries[name] = queries.pop(name)
