@@ -75,6 +75,7 @@ def _registry():
         nested,
         querysurface,
         relational,
+        schedops,
         similarity,
         sitemap,
         streaming,
@@ -97,6 +98,7 @@ def _registry():
         text,
         similarity,
         sitemap,
+        schedops,
         multimodal,
         imageops,
         alignment,
@@ -128,6 +130,9 @@ def _registry():
     # (same pattern as tests/test_retired_gates.py for retired gates).
     tail_oracle_pytested = {
         "sitemap_extract": "tests/test_sitemap.py::test_oracle_parity",
+        "recrawl_priority": "tests/test_schedops.py::test_oracle_parity",
+        "spider_trap_templates": "tests/test_schedops.py::test_oracle_parity",
+        "mirror_host_pairs": "tests/test_schedops.py::test_oracle_parity",
     }
     tail = [
         *tail_oracle_pytested,
