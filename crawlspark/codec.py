@@ -191,9 +191,16 @@ def phash(px: np.ndarray) -> int:
 _MIRROR_PREFIX = "mirror."
 
 
-def synth_image(url: str) -> dict:
+def synth_image(url: str, version: int = 0) -> dict:
     """Full deterministic 'fetch' of one URL (used by the golden oracle
     and by the vectorized fetch stage, which calls it per Arrow batch).
+
+    ``version`` models content drift for adaptive-recrawl runs
+    (SynthConfig.change_period): version v > 0 re-keys the synthesis to
+    ``h60(base_url|v<v>)`` — a refetch of a changed page returns new
+    pixels/dims/caption, still a pure function of (url, version) so
+    resume replays bit-identically. version 0 (the default everywhere
+    else) is byte-for-byte today's static corpus.
 
     Mirror hosts model the near-duplicates a real crawl encounters when
     an asset is re-hosted/re-encoded by a mirror or CDN:
@@ -217,7 +224,7 @@ def synth_image(url: str) -> dict:
         rest = rest[len(_MIRROR_PREFIX):]
     if is_mirror:
         base_url = scheme + sep + rest
-    key = py_h60(base_url)
+    key = py_h60(base_url if not version else f"{base_url}|v{int(version)}")
     w, h, fmt = dims_for(key)
     px = pixels_for(key, w, h)
     if is_mirror:

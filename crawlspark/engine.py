@@ -84,6 +84,15 @@ SEEN_SCHEMA = T.StructType(
         T.StructField("round_id", T.IntegerType(), False),
     ]
 )
+# adaptive-recrawl seen table: + last content fingerprint and the
+# per-URL revisit interval (null on non-200 rows)
+ADAPTIVE_SEEN_SCHEMA = T.StructType(
+    list(SEEN_SCHEMA.fields)
+    + [
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("ttl", T.IntegerType(), True),
+    ]
+)
 LOG_SCHEMA = T.StructType(
     [
         T.StructField("round_id", T.IntegerType(), False),
@@ -142,6 +151,7 @@ class CrawlEngine:
         cuckoo_every: int = 5,
         cuckoo_auto_min: int | None = None,
         recrawl_after: int | None = None,
+        recrawl_adaptive: tuple[int, int] | None = None,
         snapshot_gc: bool = True,
         frontier_buckets: int = 32,
         reprioritize_every: int | None = None,
@@ -181,6 +191,27 @@ class CrawlEngine:
         # wins, upsert-by-url) instead of append — the reference's
         # upsert-by-_id recrawl semantics at crawler scale.
         self.recrawl_after = recrawl_after
+        # ADAPTIVE recrawl (min_ttl, max_ttl): per-URL revisit interval
+        # learned from observed content change — a refetch whose phash
+        # differs from the stored one resets the URL's ttl to min_ttl;
+        # an unchanged refetch doubles it up to max_ttl (AIMD-style
+        # freshness scheduling, the Cho/Garcia-Molina incremental-
+        # crawler policy shape; the SQL-expressible estimator core is
+        # the ops/schedops.recrawl_priority gate). State (phash, ttl)
+        # lives IN the seen table rows (ADAPTIVE_SEEN_SCHEMA), so the
+        # bucketed MERGE maintains it O(delta) and resume needs no
+        # extra machinery. Mutually exclusive with the fixed TTL.
+        self.recrawl_adaptive = tuple(recrawl_adaptive) if recrawl_adaptive else None
+        if self.recrawl_adaptive is not None:
+            if recrawl_after is not None:
+                raise ValueError("recrawl_after and recrawl_adaptive are exclusive")
+            mn, mx = self.recrawl_adaptive
+            if not (1 <= mn <= mx):
+                raise ValueError(f"need 1 <= min_ttl <= max_ttl, got {mn, mx}")
+        # any recrawl mode maintains the seen table with bucketed MERGE
+        self._merge_seen = (
+            self.recrawl_after is not None or self.recrawl_adaptive is not None
+        )
         # snapshot GC (Iceberg expire_snapshots analogue): after each
         # round commit, every table drops manifests/data dirs not
         # reachable from that commit. Without it the per-round frontier
@@ -235,7 +266,12 @@ class CrawlEngine:
 
         for t, schema in (
             (self.frontier, FRONTIER_SCHEMA),
-            (self.seen, SEEN_SCHEMA),
+            (
+                self.seen,
+                ADAPTIVE_SEEN_SCHEMA
+                if self.recrawl_adaptive is not None
+                else SEEN_SCHEMA,
+            ),
             (self.images, IMAGES_SCHEMA),
             (self.fetch_log, LOG_SCHEMA),
             (self.image_dedup, IMAGE_DEDUP_SCHEMA),
@@ -567,7 +603,25 @@ class CrawlEngine:
         # host's entire batch would execute as ONE fetch task. Rebalance
         # round-robin so fetch work spreads across all executor slots.
         n_slots = max(self.spark.sparkContext.defaultParallelism * 2, 8)
-        fetched = fetch_images(ok.select("url").repartition(n_slots), lineage_acc=acc)
+        fetch_in = ok.select("url")
+        if self.cfg.change_period:
+            # content drift (SynthConfig.change_period): a deterministic
+            # third of URLs serve new content every p(url) rounds —
+            # version is a pure function of (url, round_id), so resume
+            # and parallelism replay bit-identically
+            vol = F.pmod(h60(F.concat(F.col("url"), F.lit("|vol"))), F.lit(3)) == 0
+            p = 1 + F.pmod(
+                h60(F.concat(F.col("url"), F.lit("|per"))),
+                F.lit(self.cfg.change_period),
+            )
+            fetch_in = ok.select(
+                "url",
+                F.when(vol, F.floor(F.lit(round_id) / p))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("version"),
+            )
+        fetched = fetch_images(fetch_in.repartition(n_slots), lineage_acc=acc)
         images_df = fetched.select(
             "image_id",
             "url",
@@ -651,16 +705,19 @@ class CrawlEngine:
         touched = selected.select("url").unionByName(denied.select("url"))
         incoming = retries.unionByName(new_rows)
         due = None
-        if self.recrawl_after is not None:
+        if self._merge_seen:
             # recrawl TTL: 200-seen URLs past their TTL re-enter the
             # frontier (touched rows excluded — they were refreshed
             # THIS round and seen_df predates the merge). Re-enqueueing
             # an already-pending URL is idempotent under the reduce.
+            # Fixed mode: one global TTL; adaptive mode: each row
+            # carries its own learned ttl column.
+            if self.recrawl_after is not None:
+                past_ttl = F.col("round_id") <= round_id - self.recrawl_after
+            else:
+                past_ttl = F.col("round_id") + F.col("ttl") <= round_id
             due = (
-                seen_df.filter(
-                    (F.col("status") == 200)
-                    & (F.col("round_id") <= round_id - self.recrawl_after)
-                )
+                seen_df.filter((F.col("status") == 200) & past_ttl)
                 .select("url")
                 .distinct()
                 .join(touched, "url", "left_anti")
@@ -753,11 +810,12 @@ class CrawlEngine:
             f_log = ex.submit(
                 _pj("log append", lambda: self.fetch_log.append(log_df, None, 2))
             )
-            if self.recrawl_after is None:
+            adaptive_due: list[int] = []
+            if not self._merge_seen:
                 f_seen = ex.submit(
                     _pj("seen append", lambda: self.seen.append(newly_seen, None, 2))
                 )
-            else:
+            elif self.recrawl_after is not None:
                 # bucketed MERGE: rewrites only the buckets holding this
                 # round's refreshed URLs (O(delta), not O(seen table))
                 f_seen = ex.submit(
@@ -766,6 +824,70 @@ class CrawlEngine:
                         lambda: self.seen.merge(newly_seen, ["url"], self._bucket()),
                     )
                 )
+            else:
+                # ADAPTIVE recrawl: the merge rows carry (phash, ttl).
+                # The fetched phash comes from the images table's round
+                # slice read back AFTER the images append lands (no
+                # second fetch pass, no caching of image bytes); the
+                # merge therefore waits on f_img — the one concurrency
+                # trade of this mode. ttl update: changed/new → min_ttl,
+                # unchanged → 2x capped at max_ttl.
+                min_ttl, max_ttl = self.recrawl_adaptive
+                prev = seen_df.select(
+                    "url",
+                    F.col("phash").alias("_pp"),
+                    F.col("ttl").alias("_pt"),
+                )
+
+                def _seen_adaptive():
+                    f_img.result()
+                    meta = (
+                        self.images.read(self.spark)
+                        .filter(F.col("round_id") == round_id)
+                        .select("url", "phash")
+                    )
+                    is200 = F.col("status") == 200
+                    rows = (
+                        newly_seen.join(meta, "url", "left")
+                        .join(prev, "url", "left")
+                        .withColumn(
+                            "ttl",
+                            F.when(~is200, F.lit(None))
+                            .when(
+                                F.col("_pp").isNull()
+                                | (F.col("_pp") != F.col("phash")),
+                                F.lit(min_ttl),
+                            )
+                            .otherwise(
+                                F.least(F.col("_pt") * 2, F.lit(max_ttl))
+                            )
+                            .cast("int"),
+                        )
+                        .withColumn(
+                            "phash",
+                            F.when(is200, F.col("phash")).cast("long"),
+                        )
+                        .select(
+                            "url", "url_hash", "status", "round_id", "phash", "ttl"
+                        )
+                        .cache()
+                    )
+                    n = self.seen.merge(rows, ["url"], self._bucket())
+                    # exact future due rounds of THIS round's refreshed
+                    # rows: at most log2(max_ttl)+1 distinct ttl values,
+                    # so the collect is O(1). run() unions them into its
+                    # outstanding schedule — no polling rounds needed.
+                    adaptive_due.extend(
+                        int(r["d"])
+                        for r in rows.filter(is200)
+                        .select((F.col("round_id") + F.col("ttl")).alias("d"))
+                        .distinct()
+                        .collect()
+                    )
+                    rows.unpersist()
+                    return n
+
+                f_seen = ex.submit(_pj("seen merge (adaptive)", _seen_adaptive))
             f_due = ex.submit(due.count) if due is not None else None
             f_front = ex.submit(_pj("frontier update", _frontier_update))
             f_counts = ex.submit(
@@ -782,7 +904,14 @@ class CrawlEngine:
             n_due = f_due.result() if f_due is not None else 0
             _tick("appends+stats")
             counters = self._make_counters(
-                round_id, stats, n_pending, n_denied, n_due, n_dirty, n_front_rows
+                round_id,
+                stats,
+                n_pending,
+                n_denied,
+                n_due,
+                n_dirty,
+                n_front_rows,
+                extra_future=adaptive_due,
             )
             if self._min_delay:
                 # record delay-hosts contacted this round (any status —
@@ -872,7 +1001,7 @@ class CrawlEngine:
         # seen log (non-recrawl mode) needs it: the frontier's bucket
         # leaves self-compact on each dirty rewrite, and the recrawl-mode
         # seen table compacts per-bucket through its bucketed MERGE.
-        if self.recrawl_after is None and round_id % 10 == 9:
+        if not self._merge_seen and round_id % 10 == 9:
             self.seen.maybe_compact(self.spark)
         self._commit_round(round_id, counters, lineage)
         if self.snapshot_gc:
@@ -913,6 +1042,7 @@ class CrawlEngine:
         n_due: int,
         n_dirty: int,
         n_front_rows: int,
+        extra_future: list[int] | None = None,
     ) -> dict:
         """Round counters + the future-work schedule run() uses to skip
         empty rounds. ``stats`` is the observed-metrics dict from the
@@ -956,6 +1086,9 @@ class CrawlEngine:
                     and int(stats["fetched"] or 0) > 0
                     else set()
                 )
+                # adaptive recrawl: the exact per-batch due rounds
+                # (round_id + learned ttl) computed by the seen merge
+                | set(extra_future or ())
             ),
         }
 
@@ -978,6 +1111,17 @@ class CrawlEngine:
             )
             if m is not None:
                 out.append(int(m) + self.recrawl_after)
+        elif self.recrawl_adaptive is not None:
+            # exact per-row due rounds; distinct values are bounded by
+            # n_rounds + max_ttl, and this runs once per resume
+            out.extend(
+                int(r["d"])
+                for r in self.seen.read(self.spark)
+                .filter(F.col("status") == 200)
+                .select((F.col("round_id") + F.col("ttl")).alias("d"))
+                .distinct()
+                .collect()
+            )
         return sorted(set(out))
 
     def run(self, max_rounds: int = 1000, stop_after: int | None = None) -> list[dict]:
@@ -1100,7 +1244,7 @@ class CrawlEngine:
             except ValueError:
                 pass  # non-append history or expired base → full recompute
 
-        if mode == "incremental" and self.recrawl_after is not None:
+        if mode == "incremental" and self._merge_seen:
             # Recrawl mode re-appends existing image_ids (fetch.py uuid5
             # of url), so the delta is NOT all-new ids: banding those
             # rows would re-emit pairs the previous publish already

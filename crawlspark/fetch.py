@@ -72,7 +72,9 @@ def with_status(selected: DataFrame, fault_free: bool = False) -> DataFrame:
 def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
     """Arrow-batched synthetic fetch+decode for status-200 URLs.
 
-    Input: DataFrame with a `url` column. Output: FETCHED_SCHEMA rows,
+    Input: DataFrame with a `url` column (plus an optional int
+    `version` column — content drift for adaptive-recrawl runs; absent
+    means version 0 for every row). Output: FETCHED_SCHEMA rows,
     including `part_id` (the executing partition). If ``lineage_acc``
     (a dict accumulator) is given, per-partition row counts are
     accumulated for free with whatever action consumes this DataFrame —
@@ -101,6 +103,9 @@ def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
             if pdf.empty:
                 continue
             urls = pdf["url"].tolist()
+            versions = (
+                pdf["version"].tolist() if "version" in pdf.columns else [0] * len(urls)
+            )
             cols = {
                 "url": urls,
                 "image_id": [str(uuid.uuid5(uuid.NAMESPACE_URL, u)) for u in urls],
@@ -112,8 +117,8 @@ def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
                 "phash": [],
                 "part_id": [pid] * len(urls),
             }
-            for u in urls:
-                img = synth_image(u)
+            for u, v in zip(urls, versions):
+                img = synth_image(u, int(v))
                 cols["bytes"].append(img["bytes"])
                 cols["w"].append(img["w"])
                 cols["h"].append(img["h"])
@@ -124,7 +129,8 @@ def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
                 lineage_acc.add({pid: len(urls)})
             yield pd.DataFrame(cols, columns=[f.name for f in FETCHED_SCHEMA.fields])
 
-    return ok_urls.select("url").mapInPandas(run, FETCHED_SCHEMA)
+    cols = ["url"] + (["version"] if "version" in ok_urls.columns else [])
+    return ok_urls.select(*cols).mapInPandas(run, FETCHED_SCHEMA)
 
 
 def expand_outlinks(

@@ -45,6 +45,13 @@ class SynthConfig:
     # CONTINUOUS crawl never pays — in steady state retries ride inside
     # full-volume rounds). Golden/engine equivalence holds either way.
     fault_free: bool = False
+    # content volatility for adaptive-recrawl runs: when set, a
+    # deterministic third of URLs (h60(url|vol) % 3 == 0) serve NEW
+    # content every p(url) = 1 + h60(url|per) % change_period rounds
+    # (codec key becomes h60(base_url|v<version>)); the other two
+    # thirds stay bit-identical forever. None (default) = today's
+    # fully static corpus — every existing golden/test is unaffected.
+    change_period: int | None = None
 
     @property
     def target_space(self) -> int:

@@ -39,6 +39,9 @@ AUDITED = [
     "nested_author_filter",
     "geo_bbox_filter",
     "embedding_near_dup",
+    "recrawl_priority",
+    "spider_trap_templates",
+    "mirror_host_pairs",
 ]
 
 CHECKS = {
