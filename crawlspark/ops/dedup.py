@@ -439,6 +439,13 @@ def embedding_near_dup(spark, sf):
     )
 
 
+def _pair_dot(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-fold dot product (SQL + is left-associative — the
+    same IEEE accumulation order as the Spark fold; the lambda/
+    generate_series form was the oracle's hot spot at gate scale)."""
+    return " + ".join(f"{a}[{i}]::DOUBLE * {b}[{i}]::DOUBLE" for i in range(1, dim + 1))
+
+
 def _near_dup_sql() -> str:
     from .similarity import _BUCKETS_DUCK
 
@@ -452,7 +459,7 @@ cand AS (
 scored AS (
   SELECT l, r,
          round(
-           list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+           ({_pair_dot("x.embedding", "y.embedding")})
            / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
               * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))), 4) AS cosine
   FROM cand JOIN embeddings x ON l = x.vec_id JOIN embeddings y ON r = y.vec_id

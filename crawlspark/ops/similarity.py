@@ -208,11 +208,17 @@ def embedding_lsh_buckets(spark, sf):
 
 
 def _duck_dot(p: int, col: str = "embedding") -> str:
-    lits = ", ".join(repr(w) for w in _W[p])
-    return (
-        f"list_sum(list_transform(generate_series(1, {_DIM}), "
-        f"i -> {col}[i]::DOUBLE * ([{lits}][i])::DOUBLE))"
+    # explicit left-fold sum: SQL + is left-associative, so this is the
+    # same IEEE accumulation order as the Spark/numpy dim-by-dim fold
+    # (0.0 + x == x exactly, so dropping the explicit zero seed changes
+    # nothing). The earlier list_transform(generate_series(...)) form
+    # indexed a 64-literal list PER ELEMENT — DuckDB re-materialized the
+    # literal per index, O(dim^2) per plane per row, ~12 s for 500
+    # vectors at the gate; this form is ~60x faster, identical bits.
+    terms = " + ".join(
+        f"{col}[{i + 1}]::DOUBLE * ({_W[p][i]!r})" for i in range(_DIM)
     )
+    return f"({terms})"
 
 
 def _duck_bucket(t: int) -> str:

@@ -60,6 +60,19 @@ def main() -> int:
     from crawlspark.session import get_spark
 
     spark = get_spark("local[8]")
+    # Warm the session the way the DRIVER's gate is warm: the driver
+    # runs entry() (a full crawl round with mapInPandas stages) before
+    # any gate, so by gate time the Python/Arrow worker pool and
+    # codegen paths are initialized. Without this, whichever gate first
+    # touches a pandas UDF absorbs ~5-8 s of one-off session cost and
+    # its bracket misreports the gate's own latency.
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    _warm = spark.createDataFrame(_pd.DataFrame({"x": [[1.0] * 4]}))
+    _warm.select(
+        _F.pandas_udf(lambda s: s.map(lambda v: float(sum(v))), "double")("x")
+    ).collect()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
