@@ -75,6 +75,7 @@ def _registry():
         nested,
         querysurface,
         relational,
+        robotsrep,
         schedops,
         similarity,
         sitemap,
@@ -99,6 +100,7 @@ def _registry():
         similarity,
         sitemap,
         schedops,
+        robotsrep,
         multimodal,
         imageops,
         alignment,
@@ -133,6 +135,7 @@ def _registry():
         "recrawl_priority": "tests/test_schedops.py::test_oracle_parity",
         "spider_trap_templates": "tests/test_schedops.py::test_oracle_parity",
         "mirror_host_pairs": "tests/test_schedops.py::test_oracle_parity",
+        "robots_rep_filter": "tests/test_robotsrep.py::test_oracle_parity",
     }
     tail = [
         *tail_oracle_pytested,

@@ -56,7 +56,7 @@ from pyspark.sql.window import Window
 from .canon import canonicalize
 from .fetch import expand_outlinks, fetch_images, with_status
 from .hashing import h60
-from .politeness import filter_robots, select_budget
+from .politeness import filter_robots, filter_robots_rep, select_budget
 from .snaptable import BucketedTable, SnapTable, atomic_write_json
 from .synth import SynthConfig
 from .urlseen import CuckooSeen
@@ -281,9 +281,27 @@ class CrawlEngine:
                 t.commit_empty(schema)
         rp = robots_pdf if robots_pdf is not None else gen_robots(cfg)
         pp = politeness_pdf if politeness_pdf is not None else gen_politeness(cfg)
-        self.robots = spark.createDataFrame(
-            rp, schema="host string, path_prefix string"
-        )
+        # robots dim, two formats: the default (host, path_prefix) deny
+        # list, or — when the frame carries a `pattern` column — full
+        # REP rules (wildcards, end anchors, allow/disallow with RFC
+        # 9309 longest-match + allow-tie-break; ops/robotsrep.py).
+        # Patterns compile to regex literals ONCE here; the per-round
+        # filter is the same broadcast-join shape either way.
+        self._robots_rep = "pattern" in getattr(rp, "columns", [])
+        if self._robots_rep:
+            from .ops.robotsrep import compile_rep
+
+            rp = rp.copy()
+            rp["rx"] = rp["pattern"].map(compile_rep)
+            rp["spec"] = rp["pattern"].str.len()
+            self.robots = spark.createDataFrame(
+                rp[["host", "rx", "spec", "allow"]],
+                schema="host string, rx string, spec int, allow boolean",
+            )
+        else:
+            self.robots = spark.createDataFrame(
+                rp, schema="host string, path_prefix string"
+            )
         # per-host crawl cool-down (SURVEY §7.1 politeness.min_delay,
         # generalizing the reference's RateLimiter, ContentfulRestore
         # .java:46): a host SELECTED in round r is ineligible until
@@ -364,6 +382,12 @@ class CrawlEngine:
             str(h): int(v) for h, v in (m.get("host_last") or {}).items()
         }
         return m["round_id"] + 1
+
+    def _filter_robots(self, pending: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(allowed, denied) under whichever robots format is configured."""
+        if self._robots_rep:
+            return filter_robots_rep(pending, self.robots)
+        return filter_robots(pending, self.robots)
 
     # ------------------------------------------------------------ seeds
     def _bucket(self, col: str = "url"):
@@ -557,7 +581,7 @@ class CrawlEngine:
             if cooling:
                 pending = pending.filter(~F.col("host").isin(list(cooling)))
             pending = pending.cache()
-            allowed, denied = filter_robots(pending, self.robots)
+            allowed, denied = self._filter_robots(pending)
             denied = denied.cache()
             selected = with_status(
                 select_budget(allowed, self.politeness), self.cfg.fault_free
@@ -964,7 +988,7 @@ class CrawlEngine:
                     .filter(F.col("not_before") <= nxt)
                     .cache()
                 )
-                p_allowed, p_denied = filter_robots(p_pending, self.robots)
+                p_allowed, p_denied = self._filter_robots(p_pending)
                 p_denied = p_denied.cache()
                 p_selected = with_status(
                     select_budget(p_allowed, self.politeness), self.cfg.fault_free

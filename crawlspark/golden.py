@@ -54,10 +54,20 @@ def simulate(
     max_rounds: int = 1000,
     budget_fn=None,
     min_delay_fn=None,
+    robots_rep_fn=None,
 ) -> GoldenResult:
     """``min_delay_fn(hostid) -> d`` (optional): a host selected in
     round r is untouched (no robots marking, no budget) until round
-    r + d — the T3 rate-limit generalized to a per-host cool-down."""
+    r + d — the T3 rate-limit generalized to a per-host cool-down.
+
+    ``robots_rep_fn(hostid) -> [(rx, spec, allow), ...]`` (optional):
+    full REP rules replacing the default prefix deny model — the
+    winner is the most specific matching rule (max (spec, allow):
+    allow breaks exact ties, RFC 9309), no match → allowed. ``rx`` is
+    the compiled regex from ops/robotsrep.compile_rep, evaluated here
+    with re.search — the same anchored-prefix semantics as the
+    engine's rlike."""
+    import re as _re
     budget_fn = budget_fn or (lambda hostid: budget_for_hostid(hostid))
     host_last: dict[str, int] = {}
     # frontier entries: url -> (retry_count, not_before, depth)
@@ -91,7 +101,17 @@ def simulate(
                 if d > 1 and host in host_last and host_last[host] + d > r:
                     continue  # cooling: rows untouched this round
             path = "/" + u.split("://", 1)[1].split("/", 1)[1]
-            if robots_denied(host) and path.startswith("/img/priv"):
+            if robots_rep_fn is not None:
+                best = None
+                for rx, spec, allow in robots_rep_fn(_hostid(host)):
+                    if _re.search(rx, path):
+                        k = (spec, allow)
+                        if best is None or k > best:
+                            best = k
+                denied = best is not None and not best[1]
+            else:
+                denied = robots_denied(host) and path.startswith("/img/priv")
+            if denied:
                 seen[u] = (ROBOTS_DENIED_STATUS, r)
                 del frontier[u]
             else:

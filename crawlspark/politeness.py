@@ -48,6 +48,25 @@ def filter_robots(pending: DataFrame, robots: DataFrame) -> tuple[DataFrame, Dat
     return allowed, denied
 
 
+def filter_robots_rep(
+    pending: DataFrame, rules: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Split pending into (allowed, denied) per full REP rules
+    (host, rx, spec, allow) — wildcard/anchor patterns with RFC 9309
+    longest-match + allow-tie-break semantics (ops/robotsrep.py
+    compiles the patterns and owns the winner logic). Same broadcast
+    shape as the prefix filter: the rules dim is tiny at any scale."""
+    from .ops.robotsrep import rep_allowed
+
+    with_path = pending.withColumn(
+        "_path", F.regexp_replace("url", r"^[a-z]+://[^/]+", "")
+    )
+    flagged = rep_allowed(with_path, rules).drop("_path")
+    allowed = flagged.filter(F.col("allowed")).drop("allowed")
+    denied = flagged.filter(~F.col("allowed")).drop("allowed")
+    return allowed, denied
+
+
 def select_budget(
     pending: DataFrame, politeness: DataFrame, default_budget: int = 16
 ) -> DataFrame:
