@@ -288,10 +288,18 @@ class CrawlEngine:
         # Patterns compile to regex literals ONCE here; the per-round
         # filter is the same broadcast-join shape either way.
         self._robots_rep = "pattern" in getattr(rp, "columns", [])
+        rep_delays: dict[str, int] = {}
         if self._robots_rep:
             from .ops.robotsrep import compile_rep
 
             rp = rp.copy()
+            # Crawl-delay directive (de facto REP extension): folds into
+            # the SAME per-host min_delay cool-down the politeness dim
+            # configures (max wins when both specify the host)
+            if "crawl_delay" in rp.columns:
+                for h, d in zip(rp["host"], rp["crawl_delay"]):
+                    if int(d) > 1:
+                        rep_delays[str(h)] = max(rep_delays.get(str(h), 1), int(d))
             rp["rx"] = rp["pattern"].map(compile_rep)
             rp["spec"] = rp["pattern"].str.len()
             self.robots = spark.createDataFrame(
@@ -317,6 +325,9 @@ class CrawlEngine:
                 if int(d) > 1
             }
             pp = pp[["host", "budget"]]
+        # robots Crawl-delay folds into the same cool-down (max wins)
+        for h, d in rep_delays.items():
+            self._min_delay[h] = max(self._min_delay.get(h, 1), d)
         self._host_last: dict[str, int] = {}
         self.politeness = spark.createDataFrame(pp, schema="host string, budget int")
 

@@ -160,3 +160,57 @@ def test_engine_golden_rep(spark, tmp_path):
         seen[["url", "status", "round_id"]].astype({"status": "int64", "round_id": "int64"}),
         gs[["url", "status", "round_id"]].astype({"status": "int64", "round_id": "int64"}),
     )
+
+
+def test_crawl_delay_folds_into_min_delay(spark, tmp_path):
+    """A robots Crawl-delay directive cools the host exactly like a
+    politeness min_delay: engine == golden with BOTH robots_rep_fn and
+    min_delay_fn active (h1 delayed by robots, h2 by politeness)."""
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.golden import simulate
+    from crawlspark.synth import SynthConfig, gen_seeds, host_name
+
+    cfg = SynthConfig(n_seeds=200, n_hosts=5, max_depth=1)
+    seeds = gen_seeds(cfg)
+    rules_pdf = _rules_pdf()
+    rules_pdf["crawl_delay"] = [3 if h == host_name(1) else 1 for h in rules_pdf.host]
+    pol = pd.DataFrame(
+        {
+            "host": [host_name(i) for i in range(1, 6)],
+            "budget": [30, 30, 15, 15, 15],
+            "min_delay": [1, 2, 1, 1, 1],
+        }
+    )
+    g = simulate(
+        list(seeds["url"]),
+        cfg,
+        budget_fn=lambda i: 30 if i <= 2 else 15,
+        min_delay_fn=lambda i: 3 if i == 1 else (2 if i == 2 else 1),
+        robots_rep_fn=_rules_fn,
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "cd"),
+        cfg,
+        robots_pdf=rules_pdf,
+        politeness_pdf=pol,
+        use_cuckoo=False,
+        cuckoo_pg=8,
+    )
+    eng.add_seeds(spark.createDataFrame(seeds))
+    eng.run(max_rounds=60)
+    log = (
+        eng.fetch_log.read(spark)
+        .toPandas()
+        .sort_values(["round_id", "host", "rank"])
+        .reset_index(drop=True)
+    )
+    go = g.fetch_order.sort_values(["round_id", "host", "rank"]).reset_index(
+        drop=True
+    )
+    cast = {c: "int64" for c in ("round_id", "rank", "status", "retry_count")}
+    pd.testing.assert_frame_equal(log[go.columns.tolist()].astype(cast), go.astype(cast))
+    # the robots-sourced delay actually throttled h1: its fetch rounds
+    # are spaced >= 3 apart
+    h1 = log[log.host == host_name(1)].round_id.drop_duplicates().sort_values()
+    assert (h1.diff().dropna() >= 3).all()
