@@ -71,16 +71,21 @@ def _registry():
         docpipe,
         enrich,
         imageops,
+        linkrank,
         multimodal,
         nested,
+        packing,
+        quantize,
         querysurface,
         relational,
         robotsrep,
+        sampling,
         schedops,
         similarity,
         sitemap,
         streaming,
         text,
+        trainsetops,
     )
 
     # streaming registers EARLY: round 2's driver gate recorded exactly
@@ -101,6 +106,11 @@ def _registry():
         sitemap,
         schedops,
         robotsrep,
+        sampling,
+        linkrank,
+        packing,
+        quantize,
+        trainsetops,
         multimodal,
         imageops,
         alignment,
@@ -136,6 +146,14 @@ def _registry():
         "spider_trap_templates": "tests/test_schedops.py::test_oracle_parity",
         "mirror_host_pairs": "tests/test_schedops.py::test_oracle_parity",
         "robots_rep_filter": "tests/test_robotsrep.py::test_oracle_parity",
+        "sampling_split_assign": "tests/test_sampling.py::test_gate_oracle_parity",
+        "sampling_stratified_quota": "tests/test_sampling.py::test_gate_oracle_parity",
+        "text_decontaminate": "tests/test_decontaminate.py::test_gate_oracle_parity",
+        "text_repetition_stats": "tests/test_decontaminate.py::test_gate_oracle_parity",
+        "link_pagerank": "tests/test_linkrank.py::test_oracle_parity",
+        "pack_training_sequences": "tests/test_packing.py::test_oracle_parity",
+        "quantized_codes": "tests/test_quantize.py::test_codes_oracle_parity",
+        "trainset_shard_by_rank": "tests/test_trainset.py::test_gate_oracle_parity",
     }
     tail = [
         *tail_oracle_pytested,

@@ -99,3 +99,9 @@ def quantized_codes(spark, sf: str) -> DataFrame:
             F.transform("q", lambda v: v.cast("long").cast("string")), ","
         ).alias("qs"),
     )
+
+
+# Driver-TAIL gate: oracle evidence runs in
+# tests/test_quantize.py::test_codes_oracle_parity (window already full).
+QUERIES = {"quantized_codes": quantized_codes}
+ORACLES = {"quantized_codes": QUANTIZE_SQL}

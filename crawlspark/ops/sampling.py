@@ -299,3 +299,72 @@ def split_assign(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+# --------------------------------------------------------------- gates
+# Registry gates (driver TAIL — the 50-row driver window is already
+# exactly the 50 oracle-backed gates, so these two carry their oracle
+# evidence via tests/test_sampling.py::test_gate_oracle_parity, per the
+# tail contract in __spark_entry__._registry).
+
+_GATE_SALT = "|gate"
+_GATE_SPLITS = {"train": 0.9, "val": 0.06, "test": 0.04}
+_GATE_QUOTAS = {"en": 40, "de": 25, "fr": 10}
+
+
+def sampling_split_assign(spark, sf: str) -> DataFrame:
+    """split_assign in gate shape: deterministic train/val/test
+    assignment over the documents table."""
+    from . import load
+
+    docs = load(spark, sf, "documents")
+    return split_assign(docs, "doc_id", _GATE_SPLITS, _GATE_SALT).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def sampling_stratified_quota(spark, sf: str) -> DataFrame:
+    """stratified_quota in gate shape: exact per-language quotas over
+    the documents table (the data-mixing primitive)."""
+    from . import load
+
+    docs = load(spark, sf, "documents")
+    return stratified_quota(
+        docs, "lang", _GATE_QUOTAS, "doc_id", _GATE_SALT
+    ).select("doc_id", "lang")
+
+
+def _md5p(key_sql: str) -> str:
+    return f"substring(md5(CAST({key_sql} AS VARCHAR) || '{_GATE_SALT}'), 1, 15)"
+
+
+SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_md5p('doc_id')} < '{hex15(0.9)}' THEN 'train'
+            WHEN {_md5p('doc_id')} < '{hex15(0.96)}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+# the naive full-window form; stratified_quota's prefilter+window path
+# must return the exact same row set (proven in tests/test_sampling.py)
+QUOTA_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_md5p('doc_id')}, CAST(doc_id AS VARCHAR)
+         ) AS rn
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr')
+) WHERE rn <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25 WHEN 'fr' THEN 10 END
+"""
+
+QUERIES = {
+    "sampling_split_assign": sampling_split_assign,
+    "sampling_stratified_quota": sampling_stratified_quota,
+}
+ORACLES = {
+    "sampling_split_assign": SPLIT_SQL,
+    "sampling_stratified_quota": QUOTA_SQL,
+}

@@ -333,3 +333,116 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id",
         (F.col("dup_2gram_frac") > max_dup_2gram)
         | (F.col("top_2gram_frac") > max_top_2gram),
     )
+
+
+# ------------------------------------------------- hygiene gate shapes
+# Driver-TAIL gates (window already full of oracle-backed gates): their
+# oracle evidence runs in
+# tests/test_decontaminate.py::test_gate_oracle_parity.
+
+_DECON_N = 8
+
+
+def text_decontaminate(spark, sf):
+    """decontaminate in gate shape: the benchmark corpus is the
+    deterministic doc_id % 97 == 0 slice of documents (standing in for
+    an eval set that leaked into the crawl)."""
+    from . import load_spread
+
+    docs = load_spread(spark, sf, "documents")
+    bench = docs.filter("doc_id % 97 = 0").select("text")
+    return decontaminate(docs, bench, n=_DECON_N).select(
+        "doc_id", "n_hit_shingles", "contaminated"
+    )
+
+
+def text_repetition_stats(spark, sf):
+    """repetition_stats (Gopher-rules family) in gate shape over the
+    documents table."""
+    from . import load
+
+    docs = load(spark, sf, "documents")
+    return repetition_stats(docs).select(
+        "doc_id",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_2gram_frac",
+        "is_repetitive",
+    )
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB mirror of _shingle_expr (md5 of word n-grams)."""
+    toks = "str_split(text, ' ')"
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> md5(array_to_string({toks}[i:i + {n - 1}], ' ')))"
+    )
+
+
+def _duck_grams(n: int) -> str:
+    """DuckDB mirror of _gram_expr (unhashed word n-grams)."""
+    toks = "str_split(text, ' ')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {n} + 1), "
+        f"i -> array_to_string({toks}[i:i + {n} - 1], ' ')) "
+        "ELSE [] END"
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH bsh AS (
+  SELECT DISTINCT unnest({_duck_shingles(_DECON_N)}) AS sh
+  FROM documents WHERE doc_id % 97 = 0
+),
+dsh AS (
+  SELECT doc_id, unnest({_duck_shingles(_DECON_N)}) AS sh FROM documents
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT dsh.sh) AS n
+  FROM dsh JOIN bsh ON dsh.sh = bsh.sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n, 0)::BIGINT AS n_hit_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         round(coalesce(1.0 - len(list_distinct({_duck_grams(2)}))::DOUBLE
+                        / nullif(len({_duck_grams(2)}), 0), 0.0), 4) AS dup_2gram_frac,
+         round(coalesce(1.0 - len(list_distinct({_duck_grams(3)}))::DOUBLE
+                        / nullif(len({_duck_grams(3)}), 0), 0.0), 4) AS dup_3gram_frac,
+         len({_duck_grams(2)}) AS n2
+  FROM documents
+),
+top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest({_duck_grams(2)}) AS g FROM documents)
+    GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.dup_2gram_frac, b.dup_3gram_frac,
+       round(coalesce(topc::DOUBLE / nullif(n2, 0), 0.0), 4) AS top_2gram_frac,
+       (b.dup_2gram_frac > 0.5 OR
+        round(coalesce(topc::DOUBLE / nullif(n2, 0), 0.0), 4) > 0.15)
+         AS is_repetitive
+FROM base b LEFT JOIN top USING (doc_id)
+"""
+
+QUERIES.update(
+    {
+        "text_decontaminate": text_decontaminate,
+        "text_repetition_stats": text_repetition_stats,
+    }
+)
+ORACLES.update(
+    {
+        "text_decontaminate": DECONTAMINATE_SQL,
+        "text_repetition_stats": REPETITION_SQL,
+    }
+)

@@ -239,3 +239,24 @@ def test_repetition_stats_matches_duckdb(spark):
     assert frac < 0.5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_gate_oracle_parity(spark):
+    """Driver-tail gates (text_decontaminate, text_repetition_stats):
+    this test IS their hard oracle evidence — the driver's 50-row window
+    never records them (registry contract in __spark_entry__.py)."""
+    from crawlspark.ops import text as T
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    for name in ("text_decontaminate", "text_repetition_stats"):
+        mine = T.QUERIES[name](spark, SF_DIR).toPandas()
+        ref = con.execute(T.ORACLES[name]).df()
+        mine = mine[sorted(mine.columns)].astype(str)
+        ref = ref[sorted(ref.columns)].astype(str)
+        mine = mine.sort_values(list(mine.columns)).reset_index(drop=True)
+        ref = ref.sort_values(list(ref.columns)).reset_index(drop=True)
+        assert len(mine) > 0, name
+        pd.testing.assert_frame_equal(mine, ref, obj=name)

@@ -262,3 +262,16 @@ def test_int_typed_strata(spark, docs, duck):
     pd.testing.assert_frame_equal(_norm(mine.toPandas()), _norm(ref))
     s = stratified_sample(bucketed, "qb", {0: 0.5, 1: 0.2}, "doc_id", SALT)
     assert {r[0] for r in s.select("qb").distinct().collect()} <= {0, 1}
+
+
+def test_gate_oracle_parity(spark, duck):
+    """Driver-tail gates (sampling_split_assign, sampling_stratified_quota):
+    this test IS their hard oracle evidence — the driver's 50-row window
+    never records them (registry contract in __spark_entry__.py)."""
+    from crawlspark.ops import sampling as S
+
+    for name, fn in S.QUERIES.items():
+        mine = _norm(fn(spark, SF_DIR).toPandas())
+        ref = _norm(duck.execute(S.ORACLES[name]).df())
+        assert len(mine) > 0, name
+        pd.testing.assert_frame_equal(mine, ref, obj=name)

@@ -444,3 +444,25 @@ def test_mix_by_derived_host_stratum(spark, tmp_path):
         .collect()
     }
     assert got == rec["quotas"], "mirror hosts (no weight) ship nothing"
+
+
+def test_gate_oracle_parity(spark):
+    """Driver-tail gate (trainset_shard_by_rank): this test IS its hard
+    oracle evidence — the driver's 50-row window never records it
+    (registry contract in __spark_entry__.py)."""
+    from crawlspark.ops import trainsetops as T
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for name, fn in T.QUERIES.items():
+        mine = fn(spark, sf).toPandas()
+        ref = con.execute(T.ORACLES[name]).df()
+        mine = mine[sorted(mine.columns)].astype(str)
+        ref = ref[sorted(ref.columns)].astype(str)
+        mine = mine.sort_values(list(mine.columns)).reset_index(drop=True)
+        ref = ref.sort_values(list(ref.columns)).reset_index(drop=True)
+        assert len(mine) > 0, name
+        pd.testing.assert_frame_equal(mine, ref, obj=name)
