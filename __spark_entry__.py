@@ -141,6 +141,7 @@ def _registry():
     # the driver never records them, so the test is their hard evidence
     # (same pattern as tests/test_retired_gates.py for retired gates).
     tail_oracle_pytested = {
+        "redirect_chain_resolve": "tests/test_redirects.py::test_gate_oracle_parity",
         "sitemap_extract": "tests/test_sitemap.py::test_oracle_parity",
         "recrawl_priority": "tests/test_schedops.py::test_oracle_parity",
         "spider_trap_templates": "tests/test_schedops.py::test_oracle_parity",

@@ -54,7 +54,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .canon import canonicalize
-from .fetch import expand_outlinks, fetch_images, with_status
+from .fetch import expand_outlinks, fetch_images, redirect_target, with_status
 from .hashing import h60
 from .politeness import filter_robots, filter_robots_rep, select_budget
 from .snaptable import BucketedTable, SnapTable, atomic_write_json
@@ -63,6 +63,7 @@ from .urlseen import CuckooSeen
 
 ROBOTS_DENIED_STATUS = -1
 PERM_FAIL_STATUS = -504
+REDIRECT_STATUS = 301
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -70,6 +71,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("retry_count", T.IntegerType(), False),
         T.StructField("not_before", T.IntegerType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        # redirect-chain length that led to this URL (0 for seeds,
+        # outlinks and recrawl re-entries); bounds 3xx chains/loops
+        T.StructField("hops", T.IntegerType(), False),
         # materialized at insert (pure functions of url) so the
         # selection path is a scan, not a recomputation
         T.StructField("host", T.StringType(), False),
@@ -416,10 +420,11 @@ class CrawlEngine:
     @staticmethod
     def _reduce_per_url(df: DataFrame) -> DataFrame:
         """One row per URL: retries supersede (max retry_count), then
-        min (not_before, depth). Associative/commutative (max over a
-        lexicographic lattice), so incremental merges are equivalent to
-        reducing the full history. host/priority are pure functions of
-        url, hence identical across a group and safe to carry."""
+        min (not_before, depth, hops). Associative/commutative (max over
+        a lexicographic lattice), so incremental merges are equivalent
+        to reducing the full history — the same lattice golden._enqueue
+        applies sequentially. host/priority are pure functions of url,
+        hence identical across a group and safe to carry."""
         return (
             df.groupBy("url")
             .agg(
@@ -428,6 +433,7 @@ class CrawlEngine:
                         F.col("retry_count"),
                         (-F.col("not_before")).alias("nnb"),
                         (-F.col("depth")).alias("nd"),
+                        (-F.col("hops")).alias("nh"),
                         F.col("host"),
                         F.col("priority"),
                     )
@@ -438,6 +444,7 @@ class CrawlEngine:
                 F.col("s.retry_count").alias("retry_count"),
                 (-F.col("s.nnb")).cast("int").alias("not_before"),
                 (-F.col("s.nd")).cast("int").alias("depth"),
+                (-F.col("s.nh")).cast("int").alias("hops"),
                 F.col("s.host").alias("host"),
                 F.col("s.priority").alias("priority"),
             )
@@ -459,6 +466,7 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("retry_count"),
                 F.lit(0).cast("int").alias("not_before"),
                 F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
+                F.lit(0).cast("int").alias("hops"),
             )
         )
         # Merge against the COMMITTED state, not HEAD: after a mid-round
@@ -595,7 +603,9 @@ class CrawlEngine:
             allowed, denied = self._filter_robots(pending)
             denied = denied.cache()
             selected = with_status(
-                select_budget(allowed, self.politeness), self.cfg.fault_free
+                select_budget(allowed, self.politeness),
+                self.cfg.fault_free,
+                self.cfg.redirect_permille,
             ).cache()
             preselected = False
 
@@ -616,6 +626,17 @@ class CrawlEngine:
                     (F.col("status") == 200) & (F.col("depth") < self.cfg.max_depth)
                 ).cast("int")
             ).alias("expandable"),
+            F.sum((F.col("status") == REDIRECT_STATUS).cast("int")).alias(
+                "redirected"
+            ),
+            # 301s whose Location actually enqueues (under the hop cap):
+            # these create next-round work even when nothing expanded
+            F.sum(
+                (
+                    (F.col("status") == REDIRECT_STATUS)
+                    & (F.col("hops") < self.cfg.max_redirect_hops)
+                ).cast("int")
+            ).alias("redir_enq"),
             *[
                 F.sum(
                     (is504 & (rc == k) & (rc + 1 <= self.cfg.max_retries)).cast("int")
@@ -669,6 +690,9 @@ class CrawlEngine:
             F.lit(round_id).cast("int").alias("round_id"),
         )
 
+        # 301s are RESOLVED this round: seen (never refetched), no body;
+        # their Location re-enters the frontier below with hops+1
+        redirs = selected.filter(F.col("status") == REDIRECT_STATUS)
         newly_seen = (
             ok.select("url", F.lit(200).alias("status"))
             .unionByName(
@@ -676,6 +700,9 @@ class CrawlEngine:
                     (F.col("status") == 504)
                     & (F.col("retry_count") + 1 > self.cfg.max_retries)
                 ).select("url", F.lit(PERM_FAIL_STATUS).alias("status"))
+            )
+            .unionByName(
+                redirs.select("url", F.lit(REDIRECT_STATUS).alias("status"))
             )
             .unionByName(
                 denied.select("url", F.lit(ROBOTS_DENIED_STATUS).alias("status"))
@@ -700,22 +727,44 @@ class CrawlEngine:
                 + F.lit(self.cfg.retry_backoff_step) * F.col("retry_count")
             ).cast("int").alias("not_before"),
             "depth",
+            "hops",
             "host",
             "priority",
         )
         # cached: the seen-split consumes this subtree through several
         # semi/anti branches — without the cache the explode+groupBy
         # re-executes once per branch inside the frontier-update job
-        outlinks = (
-            expand_outlinks(
-                ok.select("url", "host", "depth"),
-                self.cfg.n_hosts,
-                self.cfg.target_space,
-                self.cfg.max_depth,
+        arrivals = expand_outlinks(
+            ok.select("url", "host", "depth"),
+            self.cfg.n_hosts,
+            self.cfg.target_space,
+            self.cfg.max_depth,
+        ).select(
+            canonicalize("dst_url").alias("url"), "depth", F.lit(0).alias("hops")
+        )
+        if self.cfg.redirect_permille > 0:
+            # redirect Locations join the arrival stream: depth carries
+            # over (a 3xx consumes no link depth), hops+1 under the
+            # chain cap. Loops need no special casing — a target that
+            # was already resolved is dropped by the seen anti-join.
+            targets = redirs.filter(
+                F.col("hops") < self.cfg.max_redirect_hops
+            ).select(
+                canonicalize(
+                    redirect_target(self.cfg.n_hosts, self.cfg.target_space)
+                ).alias("url"),
+                "depth",
+                (F.col("hops") + 1).alias("hops"),
             )
-            .select(canonicalize("dst_url").alias("url"), "depth")
-            .groupBy("url")
-            .agg(F.min("depth").alias("depth"))
+            arrivals = arrivals.unionByName(targets)
+        outlinks = (
+            arrivals.groupBy("url")
+            .agg(F.min(F.struct(F.col("depth"), F.col("hops"))).alias("_s"))
+            .select(
+                "url",
+                F.col("_s.depth").alias("depth"),
+                F.col("_s.hops").alias("hops"),
+            )
             .cache()
         )
         new_rows = self._with_host_priority(
@@ -728,6 +777,7 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("retry_count"),
                 F.lit(round_id + 1).cast("int").alias("not_before"),
                 F.col("depth").cast("int"),
+                F.col("hops").cast("int"),
             )
         )
         # pending-table update — DIRTY-BUCKET partial overwrite: rows
@@ -764,6 +814,7 @@ class CrawlEngine:
                     F.lit(0).cast("int").alias("retry_count"),
                     F.lit(round_id + 1).cast("int").alias("not_before"),
                     F.lit(0).cast("int").alias("depth"),
+                    F.lit(0).cast("int").alias("hops"),
                 )
             )
             incoming = incoming.unionByName(recrawl_rows)
@@ -986,6 +1037,7 @@ class CrawlEngine:
                 counters["fetched"]
                 + (counters["failed_504"] - retries_sched)
                 + counters["denied"]
+                + counters["redirected"]
             )
             if round_id + 1 in counters["future_rounds"] and not self._min_delay:
                 # SPECULATIVE NEXT-ROUND SELECTION: the frontier commit
@@ -1002,7 +1054,9 @@ class CrawlEngine:
                 p_allowed, p_denied = self._filter_robots(p_pending)
                 p_denied = p_denied.cache()
                 p_selected = with_status(
-                    select_budget(p_allowed, self.politeness), self.cfg.fault_free
+                    select_budget(p_allowed, self.politeness),
+                    self.cfg.fault_free,
+                    self.cfg.redirect_permille,
                 ).cache()
                 ex.submit(p_selected.count)
                 self._presel = {
@@ -1095,6 +1149,7 @@ class CrawlEngine:
             "fetched": int(stats["fetched"] or 0),
             "failed_504": int(stats["failed_504"] or 0),
             "expandable": int(stats["expandable"] or 0),
+            "redirected": int(stats["redirected"] or 0),
             "future_rounds": sorted(
                 {
                     round_id + 1 + self.cfg.retry_backoff_step * k
@@ -1102,6 +1157,9 @@ class CrawlEngine:
                     if int(stats[f"retry_rc{k}"] or 0) > 0
                 }
                 | ({round_id + 1} if int(stats["expandable"] or 0) > 0 else set())
+                # redirect Locations enqueue for the next round (may be
+                # already-seen — then the round is an empty skip, cheap)
+                | ({round_id + 1} if int(stats["redir_enq"] or 0) > 0 else set())
                 | (
                     # budget leftover: only reschedulable if this round
                     # actually selected something (a selectable row left

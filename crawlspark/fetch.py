@@ -48,24 +48,68 @@ FETCHED_SCHEMA = T.StructType(
 )
 
 
-def with_status(selected: DataFrame, fault_free: bool = False) -> DataFrame:
+def with_status(
+    selected: DataFrame, fault_free: bool = False, redirect_permille: int = 0
+) -> DataFrame:
     """status = f(url, retry_count): ~2% of URLs 504 for fail_times
     attempts; fail_times==4 exceeds max retries → permanent failure.
     ``fault_free`` mirrors SynthConfig.fault_free (steady-state bench
-    workloads): every fetch returns 200."""
+    workloads): every fetch returns 200. ``redirect_permille`` > 0
+    additionally 301s a deterministic fraction of URLs (precedence over
+    the fault model — a 3xx IS a completed HTTP exchange); matches
+    synth.py_is_redirect bit-for-bit."""
     if fault_free:
-        return selected.withColumn("status", F.lit(200).cast("int"))
-    h = h60_sql("concat(url, '|fault')")
-    fail_times = (
-        f"CASE WHEN pmod({h}, 1000) = 0 THEN 4 "
-        f"WHEN pmod({h}, 1000) < 20 THEN 1 + pmod(shiftright({h}, 8), 3) "
-        f"ELSE 0 END"
+        df = selected.withColumn("status", F.lit(200).cast("int"))
+    else:
+        h = h60_sql("concat(url, '|fault')")
+        fail_times = (
+            f"CASE WHEN pmod({h}, 1000) = 0 THEN 4 "
+            f"WHEN pmod({h}, 1000) < 20 THEN 1 + pmod(shiftright({h}, 8), 3) "
+            f"ELSE 0 END"
+        )
+        df = selected.withColumn(
+            "status",
+            F.expr(
+                f"CASE WHEN retry_count < ({fail_times}) THEN 504 ELSE 200 END"
+            ).cast("int"),
+        )
+    if redirect_permille > 0:
+        hr = h60_sql("concat(url, '|redir')")
+        df = df.withColumn(
+            "status",
+            F.when(
+                F.expr(f"pmod({hr}, 1000) < {int(redirect_permille)}"), F.lit(301)
+            )
+            .otherwise(F.col("status"))
+            .cast("int"),
+        )
+    return df
+
+
+def redirect_target(n_hosts: int, target_space: int):
+    """Spark Column: the deterministic Location for a 301 row (expects
+    `url` and `host` columns). Bit-identical to synth.py_redirect_target
+    — same md5 arithmetic as the outlink generator."""
+    h_same = h60_sql("concat(url, '|rh')")
+    h_host = h60_sql("concat(url, '|rd')")
+    h_tgt = h60_sql("concat(url, '|rt')")
+    same = F.expr(f"pmod({h_same}, 10) < 5")
+    other_host = F.concat(
+        F.lit("h"),
+        (F.expr(f"pmod({h_host}, {n_hosts})") + 1).cast("string"),
+        F.lit(".example.com"),
     )
-    return selected.withColumn(
-        "status",
-        F.expr(f"CASE WHEN retry_count < ({fail_times}) THEN 504 ELSE 200 END").cast(
-            "int"
-        ),
+    dst_host = F.when(same, F.col("host")).otherwise(other_host)
+    k = F.expr(f"pmod({h_tgt}, {target_space})")
+    return F.concat(
+        F.lit("https://"),
+        dst_host,
+        F.lit("/img/"),
+        k.cast("string"),
+        F.lit("?p="),
+        F.pmod(k, F.lit(13)).cast("string"),
+        F.lit("&s="),
+        F.pmod(k, F.lit(7)).cast("string"),
     )
 
 

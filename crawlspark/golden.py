@@ -23,18 +23,35 @@ from .hashing import py_h60
 from .synth import (
     SynthConfig,
     budget_for_hostid,
+    py_is_redirect,
     py_outlinks,
     py_priority,
+    py_redirect_target,
     py_status,
     robots_denied,
 )
 
 ROBOTS_DENIED_STATUS = -1
 PERM_FAIL_STATUS = -504
+REDIRECT_STATUS = 301
 
 
 def _host_of(url: str) -> str:
     return url.split("://", 1)[1].split("/", 1)[0]
+
+
+def _enqueue(frontier: dict, cu: str, nb: int, dep: int, hp: int) -> None:
+    """Order-independent frontier merge for a new arrival (outlink or
+    redirect target): pending retries win; otherwise keep the
+    lexicographic min of (not_before, depth, hops) — the same lattice
+    the engine's _reduce_per_url computes distributively."""
+    if cu in frontier:
+        rc0, nb0, dep0, hp0 = frontier[cu]
+        if rc0 == 0:
+            nb1, dep1, hp1 = min((nb0, dep0, hp0), (nb, dep, hp))
+            frontier[cu] = (0, nb1, dep1, hp1)
+    else:
+        frontier[cu] = (0, nb, dep, hp)
 
 
 def _hostid(host: str) -> int:
@@ -70,31 +87,32 @@ def simulate(
     import re as _re
     budget_fn = budget_fn or (lambda hostid: budget_for_hostid(hostid))
     host_last: dict[str, int] = {}
-    # frontier entries: url -> (retry_count, not_before, depth)
-    frontier: dict[str, tuple[int, int, int]] = {}
+    # frontier entries: url -> (retry_count, not_before, depth, hops)
+    # hops = redirect-chain length that led here (0 for seeds/outlinks)
+    frontier: dict[str, tuple[int, int, int, int]] = {}
     for u in seeds:
         cu = py_canonicalize(u)
         if cu not in frontier:
-            frontier[cu] = (0, 0, 0)
+            frontier[cu] = (0, 0, 0, 0)
     seen: dict[str, tuple[int, int]] = {}  # url -> (status, round)
     log_rows = []
     r = 0
     while r < max_rounds:
         pending = [
-            (u, rc, dep)
-            for u, (rc, nb, dep) in frontier.items()
+            (u, rc, dep, hp)
+            for u, (rc, nb, dep, hp) in frontier.items()
             if nb <= r and u not in seen
         ]
         if not pending:
             # future retries may exist
-            future = [u for u, (rc, nb, dep) in frontier.items() if u not in seen]
+            future = [u for u in frontier if u not in seen]
             if not future:
                 break
             r += 1
             continue
         # robots filter: denied URLs are recorded as seen, consume no budget
         ready = []
-        for u, rc, dep in pending:
+        for u, rc, dep, hp in pending:
             host = _host_of(u)
             if min_delay_fn is not None:
                 d = min_delay_fn(_hostid(host))
@@ -115,22 +133,25 @@ def simulate(
                 seen[u] = (ROBOTS_DENIED_STATUS, r)
                 del frontier[u]
             else:
-                ready.append((u, rc, dep, host))
+                ready.append((u, rc, dep, hp, host))
         # per-host politeness: top-budget by (priority desc, url asc)
         by_host: dict[str, list] = {}
-        for u, rc, dep, host in ready:
-            by_host.setdefault(host, []).append((u, rc, dep))
+        for u, rc, dep, hp, host in ready:
+            by_host.setdefault(host, []).append((u, rc, dep, hp))
         selected = []
         for host, rows in by_host.items():
             budget = budget_fn(_hostid(host))
             rows.sort(key=lambda t: (-py_priority(t[0]), t[0]))
-            for rank, (u, rc, dep) in enumerate(rows[:budget], start=1):
-                selected.append((host, rank, u, rc, dep))
-        for host, _rank, _u, _rc, _dep in selected:
-            host_last[host] = r
+            for rank, (u, rc, dep, hp) in enumerate(rows[:budget], start=1):
+                selected.append((host, rank, u, rc, dep, hp))
+        for sel in selected:
+            host_last[sel[0]] = r
         # fetch
-        for host, rank, u, rc, dep in selected:
-            status = 200 if cfg.fault_free else py_status(u, rc)
+        for host, rank, u, rc, dep, hp in selected:
+            if py_is_redirect(u, cfg):
+                status = REDIRECT_STATUS
+            else:
+                status = 200 if cfg.fault_free else py_status(u, rc)
             log_rows.append(
                 {
                     "round_id": r,
@@ -141,22 +162,25 @@ def simulate(
                     "retry_count": rc,
                 }
             )
-            if status == 200:
+            if status == REDIRECT_STATUS:
+                # 301: the URL is resolved (seen, never refetched); its
+                # Location re-enters the frontier with hops+1 — unless
+                # the chain cap is reached or the target is already
+                # seen (which also terminates redirect loops).
+                seen[u] = (REDIRECT_STATUS, r)
+                del frontier[u]
+                if hp < cfg.max_redirect_hops:
+                    cu = py_canonicalize(py_redirect_target(u, cfg))
+                    if cu not in seen:
+                        _enqueue(frontier, cu, r + 1, dep, hp + 1)
+            elif status == 200:
                 seen[u] = (200, r)
                 del frontier[u]
                 for raw in py_outlinks(u, dep, cfg):
                     cu = py_canonicalize(raw)
                     if cu in seen:
                         continue
-                    if cu in frontier:
-                        # order-independent merge: pending retries win;
-                        # otherwise keep min (not_before, depth)
-                        rc0, nb0, dep0 = frontier[cu]
-                        if rc0 == 0:
-                            nb1, dep1 = min((nb0, dep0), (r + 1, dep + 1))
-                            frontier[cu] = (0, nb1, dep1)
-                    else:
-                        frontier[cu] = (0, r + 1, dep + 1)
+                    _enqueue(frontier, cu, r + 1, dep + 1, 0)
             else:  # 504
                 nrc = rc + 1
                 if nrc > cfg.max_retries:
@@ -165,7 +189,7 @@ def simulate(
                 else:
                     # linear backoff in rounds (T2: retry# × delay)
                     nb = r + 1 + cfg.retry_backoff_step * (nrc - 1)
-                    frontier[u] = (nrc, nb, dep)
+                    frontier[u] = (nrc, nb, dep, hp)
         r += 1
     order = pd.DataFrame(
         log_rows,

@@ -183,6 +183,81 @@ GROUP BY host, allowed
 """
 
 
+# --- T2/S8 generalized: bounded redirect-chain resolution. The engine
+# follows 301 Locations ACROSS rounds (engine.py run_round: redirs →
+# arrival stream, frontier `hops` cap); this gate is the same semantics
+# as one relational computation: resolve every URL's final destination
+# through at most 5 redirect hops. The redirect map is a deterministic
+# permutation (src doc → (48271*doc+7) mod n), so multi-hop chains AND
+# genuine loops both occur and must terminate via the hop cap alone.
+# Spark: 5 bounded self-left-joins (the iterative-resolution plan shape
+# that scales — each pass is one shuffle, never a recursive blowup);
+# DuckDB oracle: WITH RECURSIVE walk bounded at 5 hops.
+_REDIR_COIN_SPARK = (
+    "substring(md5(concat(url, '|redir')), 1, 1) IN ('0','1','2','3')"
+)
+_REDIR_COIN_DUCK = (
+    "substring(md5(concat(url, '|redir')), 1, 1) IN ('0','1','2','3')"
+)
+
+
+def redirect_chain_resolve(spark, sf):
+    u = _urls(spark, sf).select("doc_id", "url")
+    n = u.count()  # one tiny scalar agg; the modulus is a plan literal
+    edges = (
+        u.filter(F.expr(_REDIR_COIN_SPARK))
+        .withColumn("_tgt", (F.col("doc_id").cast("bigint") * 48271 + 7) % n)
+        .join(
+            u.select(F.col("doc_id").alias("_tgt"), F.col("url").alias("dst")),
+            "_tgt",
+        )
+        .select(F.col("url").alias("src"), "dst")
+    )
+    state = u.select(
+        "doc_id", "url", F.col("url").alias("cur"), F.lit(0).alias("hops")
+    )
+    for _ in range(5):
+        step = edges.select(F.col("src").alias("cur"), "dst")
+        state = state.join(step, "cur", "left").select(
+            "doc_id",
+            "url",
+            F.coalesce("dst", "cur").alias("cur"),
+            (F.col("hops") + F.col("dst").isNotNull().cast("int")).alias("hops"),
+        )
+    is_src = edges.select(F.col("src").alias("cur")).distinct().withColumn(
+        "_r", F.lit(1)
+    )
+    return state.join(is_src, "cur", "left").select(
+        "doc_id",
+        "url",
+        F.col("cur").alias("final_url"),
+        F.col("hops").cast("int").alias("hops"),
+        F.col("_r").isNull().cast("int").alias("resolved"),
+    )
+
+
+REDIRECT_SQL = f"""
+WITH RECURSIVE u AS (SELECT doc_id, url FROM ({_URLS_DUCK})),
+n AS (SELECT count(*) AS c FROM u),
+edges AS (
+  SELECT r.url AS src, t.url AS dst
+  FROM u r CROSS JOIN n
+  JOIN u t ON t.doc_id = (r.doc_id::BIGINT * 48271 + 7) % n.c
+  WHERE {_REDIR_COIN_DUCK.replace('url', 'r.url')}
+),
+walk(doc_id, url, cur, hops) AS (
+  SELECT doc_id, url, url, 0 FROM u
+  UNION ALL
+  SELECT w.doc_id, w.url, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < 5
+)
+SELECT doc_id, url, max_by(cur, hops) AS final_url, max(hops)::INT AS hops,
+       (max_by(cur, hops) NOT IN (SELECT src FROM edges))::INT AS resolved
+FROM walk GROUP BY doc_id, url
+"""
+
+
 # --- A4: crawl metrics rollup (counts per round/status), events as the
 # fetch_log analogue; epoch arithmetic keeps it timezone-free
 def crawl_metrics_rollup(spark, sf):
@@ -210,6 +285,7 @@ QUERIES = {
     "politeness_topk_salted": politeness_topk_salted,
     "retry_backoff_schedule": retry_backoff_schedule,
     "robots_filter": robots_filter,
+    "redirect_chain_resolve": redirect_chain_resolve,
     "crawl_metrics_rollup": crawl_metrics_rollup,
 }
 
@@ -220,5 +296,6 @@ ORACLES = {
     "politeness_topk_salted": TOPK_SQL,  # same oracle by design
     "retry_backoff_schedule": RETRY_SQL,
     "robots_filter": ROBOTS_SQL,
+    "redirect_chain_resolve": REDIRECT_SQL,
     "crawl_metrics_rollup": METRICS_SQL,
 }

@@ -52,6 +52,19 @@ class SynthConfig:
     # thirds stay bit-identical forever. None (default) = today's
     # fully static corpus — every existing golden/test is unaffected.
     change_period: int | None = None
+    # HTTP 3xx redirect model: when > 0, a deterministic
+    # redirect_permille/1000 fraction of URLs (h60(url|redir) % 1000)
+    # return 301 with a synthetic Location target instead of a body.
+    # Redirects take precedence over the 504 fault model (a real 3xx
+    # response IS a successful HTTP exchange). 0 (default) keeps every
+    # existing golden/test byte-identical.
+    redirect_permille: int = 0
+    # chain cap: a target reached through this many redirect hops is
+    # fetched, but if IT redirects again its Location is dropped (the
+    # reference's HTTP client follows at most a fixed number of hops;
+    # the engine follows them ACROSS rounds, so the cap rides the
+    # frontier's per-row hop counter)
+    max_redirect_hops: int = 5
 
     @property
     def target_space(self) -> int:
@@ -146,6 +159,27 @@ def py_status(url: str, retry_count: int) -> int:
 
 def py_priority(url: str) -> float:
     return (py_h60(url + "|prio") % 1_000_000) / 1_000_000.0
+
+
+def py_is_redirect(url: str, cfg: SynthConfig) -> bool:
+    """Whether this URL 301s (pure hash coin, precedence over faults)."""
+    return (
+        cfg.redirect_permille > 0
+        and py_h60(url + "|redir") % 1000 < cfg.redirect_permille
+    )
+
+
+def py_redirect_target(url: str, cfg: SynthConfig) -> str:
+    """Deterministic Location header for a 301 URL: same-host biased
+    (50/50), target id in the same space as outlinks — so a target can
+    itself be a redirect, producing multi-hop chains."""
+    host = url.split("://", 1)[1].split("/", 1)[0]
+    if py_h60(url + "|rh") % 10 < 5:
+        dst_host = host
+    else:
+        dst_host = host_name(1 + py_h60(url + "|rd") % cfg.n_hosts)
+    k = py_h60(url + "|rt") % cfg.target_space
+    return f"https://{dst_host}/img/{k}?p={k % 13}&s={k % 7}"
 
 
 def py_outlinks(url: str, depth: int, cfg: SynthConfig) -> list[str]:
