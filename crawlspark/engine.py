@@ -64,6 +64,8 @@ from .urlseen import CuckooSeen
 ROBOTS_DENIED_STATUS = -1
 PERM_FAIL_STATUS = -504
 REDIRECT_STATUS = 301
+NOT_MODIFIED_STATUS = 304
+GONE_STATUS = 404
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -74,6 +76,11 @@ FRONTIER_SCHEMA = T.StructType(
         # redirect-chain length that led to this URL (0 for seeds,
         # outlinks and recrawl re-entries); bounds 3xx chains/loops
         T.StructField("hops", T.IntegerType(), False),
+        # ETag analogue for conditional refetches: the round of the last
+        # 200 (-1 = none). Set ONLY by recrawl re-entries — the one path
+        # by which an already-seen URL re-enters the frontier — so the
+        # 304 check is row-local SQL, no seen-table join at selection
+        T.StructField("etag_round", T.IntegerType(), False),
         # materialized at insert (pure functions of url) so the
         # selection path is a scan, not a recomputation
         T.StructField("host", T.StringType(), False),
@@ -156,6 +163,9 @@ class CrawlEngine:
         cuckoo_auto_min: int | None = None,
         recrawl_after: int | None = None,
         recrawl_adaptive: tuple[int, int] | None = None,
+        adaptive_budget: tuple[int, int] | None = None,
+        conditional_fetch: bool = False,
+        priority_aging: float | None = None,
         snapshot_gc: bool = True,
         frontier_buckets: int = 32,
         reprioritize_every: int | None = None,
@@ -216,6 +226,47 @@ class CrawlEngine:
         self._merge_seen = (
             self.recrawl_after is not None or self.recrawl_adaptive is not None
         )
+        # ADAPTIVE per-host politeness (min_budget, max_budget): AIMD
+        # budgets learned from observed server health — a host that
+        # returned any 504 this round gets its next-round budget halved
+        # (floor min_budget); a host whose selected rows all succeeded
+        # ramps +1 (cap max_budget). The distributed generalization of
+        # the reference's fixed page size + retry backoff
+        # (ContentCrawlConfiguration.java:87-93): back off sick hosts,
+        # ramp healthy ones. Learned budgets ride the round manifest
+        # (resume-exact); the dict is bounded by hosts ever selected —
+        # the politeness-dim cardinality bound (see min_delay above).
+        self.adaptive_budget = tuple(adaptive_budget) if adaptive_budget else None
+        if self.adaptive_budget is not None:
+            mn, mx = self.adaptive_budget
+            if not (1 <= mn <= mx):
+                raise ValueError(f"need 1 <= min_budget <= max_budget, got {mn, mx}")
+        self._host_budget: dict[str, int] = {}
+        # CONDITIONAL REVALIDATION (HTTP 304): on recrawl refetches,
+        # send the ETag analogue (the content version at the last 200)
+        # and let the server short-circuit unchanged content — status
+        # 304, no body. The refetch still refreshes the seen row's
+        # round_id (and doubles the adaptive ttl: a 304 IS an observed
+        # "unchanged"), but skips the fetch body, the image append and
+        # the outlink re-expansion. At the 10^10-URL target this turns
+        # the recrawl schedule's wasted refetches (BENCH/NOTES.md
+        # adaptive-vs-fixed A/B: 46-66% of refetches land unchanged)
+        # into header-only exchanges. Requires a recrawl mode.
+        self.conditional_fetch = bool(conditional_fetch)
+        if self.conditional_fetch and not (
+            recrawl_after is not None or recrawl_adaptive is not None
+        ):
+            raise ValueError("conditional_fetch requires a recrawl mode")
+        # PRIORITY AGING (starvation-freedom): selection ranks by
+        # priority + alpha * rounds-ripe instead of the raw hash
+        # priority. Under a bound budget a low-priority URL would
+        # otherwise wait unboundedly behind every newly discovered
+        # higher-hash URL on its host; with alpha > 0 its effective
+        # priority grows past any fixed priority (< 1) within
+        # ceil(1/alpha) rounds, so the wait is bounded by budget
+        # turnover. Pure arithmetic on existing columns — no state, no
+        # extra I/O, resume-exact by construction.
+        self.priority_aging = float(priority_aging) if priority_aging else None
         # snapshot GC (Iceberg expire_snapshots analogue): after each
         # round commit, every table drops manifests/data dirs not
         # reachable from that commit. Without it the per-round frontier
@@ -333,6 +384,7 @@ class CrawlEngine:
         for h, d in rep_delays.items():
             self._min_delay[h] = max(self._min_delay.get(h, 1), d)
         self._host_last: dict[str, int] = {}
+        self._politeness_pdf = pp.reset_index(drop=True)
         self.politeness = spark.createDataFrame(pp, schema="host string, budget int")
 
     # ----------------------------------------------------------- state
@@ -361,6 +413,7 @@ class CrawlEngine:
             "cuckoo_upto": self._cuckoo_upto,
             "seen_rows": self._seen_rows,
             "host_last": dict(self._host_last),
+            "host_budget": dict(self._host_budget),
             "counters": counters,
             "lineage": lineage,
         }
@@ -396,6 +449,9 @@ class CrawlEngine:
         self._host_last = {
             str(h): int(v) for h, v in (m.get("host_last") or {}).items()
         }
+        self._host_budget = {
+            str(h): int(v) for h, v in (m.get("host_budget") or {}).items()
+        }
         return m["round_id"] + 1
 
     def _filter_robots(self, pending: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -403,6 +459,82 @@ class CrawlEngine:
         if self._robots_rep:
             return filter_robots_rep(pending, self.robots)
         return filter_robots(pending, self.robots)
+
+    def _effective_politeness(self) -> DataFrame:
+        """The politeness dim for THIS round: the static table, with
+        AIMD-learned per-host budgets overriding it when adaptive_budget
+        is on. The dim stays broadcast-sized (hosts-ever-selected, same
+        cardinality bound as the static table)."""
+        if not self.adaptive_budget or not self._host_budget:
+            return self.politeness
+        import pandas as pd
+
+        pdf = self._politeness_pdf.copy()
+        learned = self._host_budget
+        pdf["budget"] = [
+            learned.get(str(h), int(b)) for h, b in zip(pdf["host"], pdf["budget"])
+        ]
+        extra = sorted(set(learned) - set(map(str, pdf["host"])))
+        if extra:
+            pdf = pd.concat(
+                [pdf, pd.DataFrame({"host": extra, "budget": [learned[h] for h in extra]})],
+                ignore_index=True,
+            )
+        return self.spark.createDataFrame(pdf, schema="host string, budget int")
+
+    def _base_budget(self, host: str, default_budget: int = 16) -> int:
+        row = self._politeness_pdf[self._politeness_pdf["host"] == host]
+        return int(row["budget"].iloc[0]) if len(row) else default_budget
+
+    def _version_of(self, round_col):
+        """Content version of `url` as served at round ``round_col`` —
+        the drift model of SynthConfig.change_period as a pure SQL
+        expression (volatile third re-keys every p(url) rounds). A
+        static corpus (change_period=None) is version 0 forever."""
+        if not self.cfg.change_period:
+            return F.lit(0)
+        vol = F.pmod(h60(F.concat(F.col("url"), F.lit("|vol"))), F.lit(3)) == 0
+        p = 1 + F.pmod(
+            h60(F.concat(F.col("url"), F.lit("|per"))),
+            F.lit(self.cfg.change_period),
+        )
+        return F.when(vol, F.floor(round_col / p)).otherwise(F.lit(0)).cast("int")
+
+    def _select_with_status(self, allowed: DataFrame, round_id: int) -> DataFrame:
+        """Politeness selection + status, with the conditional-fetch 304
+        overlay: a refetch whose content version equals the version at
+        its last 200 (the ETag analogue, carried by the frontier row's
+        etag_round — no seen-table join) returns 304: header-only, no
+        body. First fetches (etag_round = -1) and failures are
+        untouched; 301 takes precedence (a redirect is not
+        revalidatable content)."""
+        sel = with_status(
+            select_budget(
+                allowed,
+                self._effective_politeness(),
+                aging=(self.priority_aging, round_id)
+                if self.priority_aging
+                else None,
+            ),
+            self.cfg.fault_free,
+            self.cfg.redirect_permille,
+            self.cfg.gone_permille,
+        )
+        if not self.conditional_fetch:
+            return sel
+        cond = (F.col("status") == 200) & (F.col("etag_round") >= 0)
+        if self.cfg.change_period:
+            cond = cond & (
+                self._version_of(F.lit(round_id))
+                == self._version_of(F.col("etag_round"))
+            )
+        # static corpus (no change_period): every revalidation is a 304
+        return sel.withColumn(
+            "status",
+            F.when(cond, F.lit(NOT_MODIFIED_STATUS))
+            .otherwise(F.col("status"))
+            .cast("int"),
+        )
 
     # ------------------------------------------------------------ seeds
     def _bucket(self, col: str = "url"):
@@ -436,6 +568,11 @@ class CrawlEngine:
                         (-F.col("hops")).alias("nh"),
                         F.col("host"),
                         F.col("priority"),
+                        # etag_round rides along: only recrawl re-entries
+                        # carry >= 0, and a seen URL can reach the
+                        # frontier through no other path, so groups never
+                        # mix different non-(-1) values
+                        F.col("etag_round"),
                     )
                 ).alias("s")
             )
@@ -447,6 +584,7 @@ class CrawlEngine:
                 (-F.col("s.nh")).cast("int").alias("hops"),
                 F.col("s.host").alias("host"),
                 F.col("s.priority").alias("priority"),
+                F.col("s.etag_round").cast("int").alias("etag_round"),
             )
         )
 
@@ -467,6 +605,7 @@ class CrawlEngine:
                 F.lit(0).cast("int").alias("not_before"),
                 F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth"),
                 F.lit(0).cast("int").alias("hops"),
+                F.lit(-1).cast("int").alias("etag_round"),
             )
         )
         # Merge against the COMMITTED state, not HEAD: after a mid-round
@@ -602,11 +741,7 @@ class CrawlEngine:
             pending = pending.cache()
             allowed, denied = self._filter_robots(pending)
             denied = denied.cache()
-            selected = with_status(
-                select_budget(allowed, self.politeness),
-                self.cfg.fault_free,
-                self.cfg.redirect_permille,
-            ).cache()
+            selected = self._select_with_status(allowed, round_id).cache()
             preselected = False
 
         # round stats ride the fetch-log append as observed metrics —
@@ -629,6 +764,12 @@ class CrawlEngine:
             F.sum((F.col("status") == REDIRECT_STATUS).cast("int")).alias(
                 "redirected"
             ),
+            # conditional-fetch 304s: revalidated without a body — they
+            # keep the recrawl schedule alive like a fetch does
+            F.sum((F.col("status") == NOT_MODIFIED_STATUS).cast("int")).alias(
+                "revalidated"
+            ),
+            F.sum((F.col("status") == GONE_STATUS).cast("int")).alias("gone_404"),
             # 301s whose Location actually enqueues (under the hop cap):
             # these create next-round work even when nothing expanded
             F.sum(
@@ -665,17 +806,8 @@ class CrawlEngine:
             # third of URLs serve new content every p(url) rounds —
             # version is a pure function of (url, round_id), so resume
             # and parallelism replay bit-identically
-            vol = F.pmod(h60(F.concat(F.col("url"), F.lit("|vol"))), F.lit(3)) == 0
-            p = 1 + F.pmod(
-                h60(F.concat(F.col("url"), F.lit("|per"))),
-                F.lit(self.cfg.change_period),
-            )
             fetch_in = ok.select(
-                "url",
-                F.when(vol, F.floor(F.lit(round_id) / p))
-                .otherwise(F.lit(0))
-                .cast("int")
-                .alias("version"),
+                "url", self._version_of(F.lit(round_id)).alias("version")
             )
         fetched = fetch_images(fetch_in.repartition(n_slots), lineage_acc=acc)
         images_df = fetched.select(
@@ -693,8 +825,12 @@ class CrawlEngine:
         # 301s are RESOLVED this round: seen (never refetched), no body;
         # their Location re-enters the frontier below with hops+1
         redirs = selected.filter(F.col("status") == REDIRECT_STATUS)
+        # 304s: revalidated, no body — the seen row refreshes as a 200
+        # (content is still live; round_id advances the recrawl clock)
+        revd = selected.filter(F.col("status") == NOT_MODIFIED_STATUS)
         newly_seen = (
             ok.select("url", F.lit(200).alias("status"))
+            .unionByName(revd.select("url", F.lit(200).alias("status")))
             .unionByName(
                 selected.filter(
                     (F.col("status") == 504)
@@ -703,6 +839,12 @@ class CrawlEngine:
             )
             .unionByName(
                 redirs.select("url", F.lit(REDIRECT_STATUS).alias("status"))
+            )
+            # permanent 404s: resolved this round, never retried
+            .unionByName(
+                selected.filter(F.col("status") == GONE_STATUS).select(
+                    "url", F.lit(GONE_STATUS).alias("status")
+                )
             )
             .unionByName(
                 denied.select("url", F.lit(ROBOTS_DENIED_STATUS).alias("status"))
@@ -730,6 +872,7 @@ class CrawlEngine:
             "hops",
             "host",
             "priority",
+            "etag_round",
         )
         # cached: the seen-split consumes this subtree through several
         # semi/anti branches — without the cache the explode+groupBy
@@ -778,6 +921,7 @@ class CrawlEngine:
                 F.lit(round_id + 1).cast("int").alias("not_before"),
                 F.col("depth").cast("int"),
                 F.col("hops").cast("int"),
+                F.lit(-1).cast("int").alias("etag_round"),
             )
         )
         # pending-table update — DIRTY-BUCKET partial overwrite: rows
@@ -801,10 +945,12 @@ class CrawlEngine:
                 past_ttl = F.col("round_id") <= round_id - self.recrawl_after
             else:
                 past_ttl = F.col("round_id") + F.col("ttl") <= round_id
+            # the MERGE-maintained seen table holds one row per url, so
+            # (url, round_id) needs no distinct; round_id doubles as the
+            # ETag analogue for conditional refetches
             due = (
                 seen_df.filter((F.col("status") == 200) & past_ttl)
-                .select("url")
-                .distinct()
+                .select("url", F.col("round_id").alias("etag_round"))
                 .join(touched, "url", "left_anti")
                 .cache()
             )
@@ -815,6 +961,7 @@ class CrawlEngine:
                     F.lit(round_id + 1).cast("int").alias("not_before"),
                     F.lit(0).cast("int").alias("depth"),
                     F.lit(0).cast("int").alias("hops"),
+                    F.col("etag_round").cast("int"),
                 )
             )
             incoming = incoming.unionByName(recrawl_rows)
@@ -933,12 +1080,22 @@ class CrawlEngine:
                         .select("url", "phash")
                     )
                     is200 = F.col("status") == 200
+                    # conditional-fetch 304 rows carry no fetched body:
+                    # they ARE the "unchanged" observation (ttl doubles,
+                    # stored phash carries forward) — checked FIRST,
+                    # before the null-phash-means-changed rule
+                    rvm = revd.select("url", F.lit(1).alias("_rv"))
                     rows = (
                         newly_seen.join(meta, "url", "left")
                         .join(prev, "url", "left")
+                        .join(rvm, "url", "left")
                         .withColumn(
                             "ttl",
                             F.when(~is200, F.lit(None))
+                            .when(
+                                F.col("_rv") == 1,
+                                F.least(F.col("_pt") * 2, F.lit(max_ttl)),
+                            )
                             .when(
                                 F.col("_pp").isNull()
                                 | (F.col("_pp") != F.col("phash")),
@@ -951,7 +1108,9 @@ class CrawlEngine:
                         )
                         .withColumn(
                             "phash",
-                            F.when(is200, F.col("phash")).cast("long"),
+                            F.when(F.col("_rv") == 1, F.col("_pp"))
+                            .when(is200, F.col("phash"))
+                            .cast("long"),
                         )
                         .select(
                             "url", "url_hash", "status", "round_id", "phash", "ttl"
@@ -1024,6 +1183,30 @@ class CrawlEngine:
                 counters["future_rounds"] = sorted(
                     set(counters["future_rounds"]) | nxt
                 )
+            if self.adaptive_budget:
+                # AIMD budget update from THIS round's observed statuses:
+                # any 504 from a host → halve its next-round budget
+                # (floor min_b); an all-success host ramps +1 (cap
+                # max_b). One tiny agg over the cached selection,
+                # collect bounded by hosts selected this round (the
+                # politeness-dim cardinality bound). Runs BEFORE the
+                # round commit so the manifest carries the new budgets.
+                mn_b, mx_b = self.adaptive_budget
+                health = (
+                    selected.groupBy("host")
+                    .agg(
+                        F.max((F.col("status") == 504).cast("int")).alias("bad")
+                    )
+                    .collect()
+                )
+                for row in health:
+                    h = str(row["host"])
+                    cur = self._host_budget.get(h, self._base_budget(h))
+                    self._host_budget[h] = (
+                        max(mn_b, cur // 2)
+                        if int(row["bad"])
+                        else min(mx_b, cur + 1)
+                    )
             # seen-table growth this round (200s + permanent fails +
             # robots-denied; retries stay in the frontier). Upper bound
             # under recrawl MERGE (rewrites counted as appends) — fine
@@ -1038,8 +1221,13 @@ class CrawlEngine:
                 + (counters["failed_504"] - retries_sched)
                 + counters["denied"]
                 + counters["redirected"]
+                + counters["gone_404"]
             )
-            if round_id + 1 in counters["future_rounds"] and not self._min_delay:
+            if (
+                round_id + 1 in counters["future_rounds"]
+                and not self._min_delay
+                and not self.adaptive_budget
+            ):
                 # SPECULATIVE NEXT-ROUND SELECTION: the frontier commit
                 # for round_id+1 just landed (f_front), and selection
                 # depends on nothing else — pin it and fill its caches
@@ -1053,11 +1241,10 @@ class CrawlEngine:
                 )
                 p_allowed, p_denied = self._filter_robots(p_pending)
                 p_denied = p_denied.cache()
-                p_selected = with_status(
-                    select_budget(p_allowed, self.politeness),
-                    self.cfg.fault_free,
-                    self.cfg.redirect_permille,
-                ).cache()
+                # the conditional-fetch 304 overlay is row-local (the
+                # frontier row carries its own etag_round), so the
+                # speculative selection needs no seen-table read
+                p_selected = self._select_with_status(p_allowed, nxt).cache()
                 ex.submit(p_selected.count)
                 self._presel = {
                     "round_id": nxt,
@@ -1150,6 +1337,8 @@ class CrawlEngine:
             "failed_504": int(stats["failed_504"] or 0),
             "expandable": int(stats["expandable"] or 0),
             "redirected": int(stats["redirected"] or 0),
+            "revalidated": int(stats["revalidated"] or 0),
+            "gone_404": int(stats["gone_404"] or 0),
             "future_rounds": sorted(
                 {
                     round_id + 1 + self.cfg.retry_backoff_step * k
@@ -1174,9 +1363,14 @@ class CrawlEngine:
                 # round; rows fetched now come due after the TTL
                 | ({round_id + 1} if n_due > 0 else set())
                 | (
+                    # a 304 revalidation advances the recrawl clock the
+                    # same as a fetch — without it an all-304 round
+                    # would stop scheduling while URLs still come due
                     {round_id + self.recrawl_after}
                     if self.recrawl_after is not None
-                    and int(stats["fetched"] or 0) > 0
+                    and int(stats["fetched"] or 0)
+                    + int(stats["revalidated"] or 0)
+                    > 0
                     else set()
                 )
                 # adaptive recrawl: the exact per-batch due rounds

@@ -49,15 +49,19 @@ FETCHED_SCHEMA = T.StructType(
 
 
 def with_status(
-    selected: DataFrame, fault_free: bool = False, redirect_permille: int = 0
+    selected: DataFrame,
+    fault_free: bool = False,
+    redirect_permille: int = 0,
+    gone_permille: int = 0,
 ) -> DataFrame:
     """status = f(url, retry_count): ~2% of URLs 504 for fail_times
     attempts; fail_times==4 exceeds max retries → permanent failure.
     ``fault_free`` mirrors SynthConfig.fault_free (steady-state bench
-    workloads): every fetch returns 200. ``redirect_permille`` > 0
-    additionally 301s a deterministic fraction of URLs (precedence over
-    the fault model — a 3xx IS a completed HTTP exchange); matches
-    synth.py_is_redirect bit-for-bit."""
+    workloads): every fetch returns 200. ``gone_permille`` > 0 404s a
+    deterministic fraction permanently (no retry, unlike 504);
+    ``redirect_permille`` > 0 301s a fraction (highest precedence —
+    a 3xx IS a completed HTTP exchange). Matches synth.py_is_gone /
+    py_is_redirect bit-for-bit."""
     if fault_free:
         df = selected.withColumn("status", F.lit(200).cast("int"))
     else:
@@ -72,6 +76,16 @@ def with_status(
             F.expr(
                 f"CASE WHEN retry_count < ({fail_times}) THEN 504 ELSE 200 END"
             ).cast("int"),
+        )
+    if gone_permille > 0:
+        hg = h60_sql("concat(url, '|gone')")
+        df = df.withColumn(
+            "status",
+            F.when(
+                F.expr(f"pmod({hg}, 1000) < {int(gone_permille)}"), F.lit(404)
+            )
+            .otherwise(F.col("status"))
+            .cast("int"),
         )
     if redirect_permille > 0:
         hr = h60_sql("concat(url, '|redir')")

@@ -23,6 +23,7 @@ from .hashing import py_h60
 from .synth import (
     SynthConfig,
     budget_for_hostid,
+    py_is_gone,
     py_is_redirect,
     py_outlinks,
     py_priority,
@@ -34,6 +35,7 @@ from .synth import (
 ROBOTS_DENIED_STATUS = -1
 PERM_FAIL_STATUS = -504
 REDIRECT_STATUS = 301
+GONE_STATUS = 404
 
 
 def _host_of(url: str) -> str:
@@ -72,6 +74,8 @@ def simulate(
     budget_fn=None,
     min_delay_fn=None,
     robots_rep_fn=None,
+    adaptive_budget=None,
+    priority_aging=None,
 ) -> GoldenResult:
     """``min_delay_fn(hostid) -> d`` (optional): a host selected in
     round r is untouched (no robots marking, no budget) until round
@@ -83,10 +87,20 @@ def simulate(
     allow breaks exact ties, RFC 9309), no match → allowed. ``rx`` is
     the compiled regex from ops/robotsrep.compile_rep, evaluated here
     with re.search — the same anchored-prefix semantics as the
-    engine's rlike."""
+    engine's rlike.
+
+    ``adaptive_budget=(min_b, max_b)`` (optional): AIMD per-host
+    budgets — after each round, a host that returned any 504 halves
+    its budget (floor min_b); an all-success host ramps +1 (cap
+    max_b). Budgets start at budget_fn's value.
+
+    ``priority_aging=alpha`` (optional): rank by priority + alpha *
+    rounds-ripe (r - not_before) — the engine's starvation-freedom
+    order, same IEEE double arithmetic."""
     import re as _re
     budget_fn = budget_fn or (lambda hostid: budget_for_hostid(hostid))
     host_last: dict[str, int] = {}
+    host_budget: dict[str, int] = {}
     # frontier entries: url -> (retry_count, not_before, depth, hops)
     # hops = redirect-chain length that led here (0 for seeds/outlinks)
     frontier: dict[str, tuple[int, int, int, int]] = {}
@@ -99,7 +113,7 @@ def simulate(
     r = 0
     while r < max_rounds:
         pending = [
-            (u, rc, dep, hp)
+            (u, rc, dep, hp, nb)
             for u, (rc, nb, dep, hp) in frontier.items()
             if nb <= r and u not in seen
         ]
@@ -112,7 +126,7 @@ def simulate(
             continue
         # robots filter: denied URLs are recorded as seen, consume no budget
         ready = []
-        for u, rc, dep, hp in pending:
+        for u, rc, dep, hp, nb in pending:
             host = _host_of(u)
             if min_delay_fn is not None:
                 d = min_delay_fn(_hostid(host))
@@ -133,25 +147,38 @@ def simulate(
                 seen[u] = (ROBOTS_DENIED_STATUS, r)
                 del frontier[u]
             else:
-                ready.append((u, rc, dep, hp, host))
-        # per-host politeness: top-budget by (priority desc, url asc)
+                ready.append((u, rc, dep, hp, nb, host))
+        # per-host politeness: top-budget by (priority desc, url asc),
+        # with the optional aging term raising long-ripe URLs
         by_host: dict[str, list] = {}
-        for u, rc, dep, hp, host in ready:
-            by_host.setdefault(host, []).append((u, rc, dep, hp))
+        for u, rc, dep, hp, nb, host in ready:
+            by_host.setdefault(host, []).append((u, rc, dep, hp, nb))
         selected = []
         for host, rows in by_host.items():
-            budget = budget_fn(_hostid(host))
-            rows.sort(key=lambda t: (-py_priority(t[0]), t[0]))
-            for rank, (u, rc, dep, hp) in enumerate(rows[:budget], start=1):
+            budget = host_budget.get(host, budget_fn(_hostid(host)))
+            if priority_aging:
+                rows.sort(
+                    key=lambda t: (
+                        -(py_priority(t[0]) + priority_aging * (r - t[4])),
+                        t[0],
+                    )
+                )
+            else:
+                rows.sort(key=lambda t: (-py_priority(t[0]), t[0]))
+            for rank, (u, rc, dep, hp, nb) in enumerate(rows[:budget], start=1):
                 selected.append((host, rank, u, rc, dep, hp))
         for sel in selected:
             host_last[sel[0]] = r
         # fetch
+        round_bad: dict[str, bool] = {}
         for host, rank, u, rc, dep, hp in selected:
             if py_is_redirect(u, cfg):
                 status = REDIRECT_STATUS
+            elif py_is_gone(u, cfg):
+                status = GONE_STATUS
             else:
                 status = 200 if cfg.fault_free else py_status(u, rc)
+            round_bad[host] = round_bad.get(host, False) or status == 504
             log_rows.append(
                 {
                     "round_id": r,
@@ -162,7 +189,11 @@ def simulate(
                     "retry_count": rc,
                 }
             )
-            if status == REDIRECT_STATUS:
+            if status == GONE_STATUS:
+                # permanent client error: resolved, no body, NO retry
+                seen[u] = (GONE_STATUS, r)
+                del frontier[u]
+            elif status == REDIRECT_STATUS:
                 # 301: the URL is resolved (seen, never refetched); its
                 # Location re-enters the frontier with hops+1 — unless
                 # the chain cap is reached or the target is already
@@ -190,6 +221,13 @@ def simulate(
                     # linear backoff in rounds (T2: retry# × delay)
                     nb = r + 1 + cfg.retry_backoff_step * (nrc - 1)
                     frontier[u] = (nrc, nb, dep, hp)
+        if adaptive_budget:
+            mn_b, mx_b = adaptive_budget
+            for host, bad in round_bad.items():
+                cur = host_budget.get(host, budget_fn(_hostid(host)))
+                host_budget[host] = (
+                    max(mn_b, cur // 2) if bad else min(mx_b, cur + 1)
+                )
         r += 1
     order = pd.DataFrame(
         log_rows,

@@ -68,7 +68,10 @@ def filter_robots_rep(
 
 
 def select_budget(
-    pending: DataFrame, politeness: DataFrame, default_budget: int = 16
+    pending: DataFrame,
+    politeness: DataFrame,
+    default_budget: int = 16,
+    aging: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Pick the per-host top-``budget`` pending URLs by
     (priority DESC, url ASC); adds ``rank``. Deterministic total order.
@@ -76,6 +79,14 @@ def select_budget(
     Hosts absent from the politeness table get ``default_budget`` (left
     join) — an inner join would silently drop their URLs every round:
     never fetched, never marked seen, rescheduled forever.
+
+    ``aging=(alpha, round_id)`` (optional): starvation-freedom for
+    budget-bound hosts — rank by priority + alpha * rounds-ripe
+    (round_id - not_before) instead of raw priority. A URL passed over
+    for k rounds gains k*alpha; with alpha > 0 every pending URL's
+    effective priority eventually exceeds any fixed hash priority
+    (< 1), bounding its wait by budget turnover. Both engines compute
+    the same IEEE double, so the order stays bit-identical.
     """
     df = pending.join(F.broadcast(politeness), "host", "left").withColumn(
         "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
@@ -84,7 +95,13 @@ def select_budget(
     df = df.withColumn(
         "_salt", F.pmod(F.expr(h60_sql("concat(url, '|salt')")), nsplits).cast("int")
     )
-    order = [F.col("priority").desc(), F.col("url").asc()]
+    eff = F.col("priority")
+    if aging is not None:
+        alpha, round_id = aging
+        eff = eff + F.lit(float(alpha)) * (
+            F.lit(int(round_id)) - F.col("not_before")
+        ).cast("double")
+    order = [eff.desc(), F.col("url").asc()]
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     survivors = (
         df.withColumn("_rn1", F.row_number().over(w1))

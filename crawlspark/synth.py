@@ -52,6 +52,12 @@ class SynthConfig:
     # thirds stay bit-identical forever. None (default) = today's
     # fully static corpus — every existing golden/test is unaffected.
     change_period: int | None = None
+    # permanent 404s: when > 0, a deterministic gone_permille/1000
+    # fraction of URLs (h60(url|gone) % 1000) return 404 — a PERMANENT
+    # client error: no body, no retry (unlike the transient-504 fault
+    # model), the URL is marked seen immediately. Redirect wins when
+    # the coins overlap (the server answers 301 before routing).
+    gone_permille: int = 0
     # HTTP 3xx redirect model: when > 0, a deterministic
     # redirect_permille/1000 fraction of URLs (h60(url|redir) % 1000)
     # return 301 with a synthetic Location target instead of a body.
@@ -166,6 +172,14 @@ def py_is_redirect(url: str, cfg: SynthConfig) -> bool:
     return (
         cfg.redirect_permille > 0
         and py_h60(url + "|redir") % 1000 < cfg.redirect_permille
+    )
+
+
+def py_is_gone(url: str, cfg: SynthConfig) -> bool:
+    """Whether this URL 404s permanently (pure hash coin; redirect
+    takes precedence when both coins hit)."""
+    return (
+        cfg.gone_permille > 0 and py_h60(url + "|gone") % 1000 < cfg.gone_permille
     )
 
 

@@ -143,6 +143,33 @@ def test_all_redirects_terminate_at_hop_cap(spark, tmp_path):
     assert not eng.has_pending_work()
 
 
+def test_gone_404_with_redirects_matches_golden(spark, tmp_path):
+    """Full status taxonomy in one corpus: 200 / 301 / 404 / 504-retry /
+    perm-fail / robots-denied. 404s are PERMANENT — seen immediately,
+    zero retries — unlike the transient 504 model."""
+    cfg = SynthConfig(
+        n_seeds=250,
+        n_hosts=10,
+        max_depth=1,
+        redirect_permille=150,
+        gone_permille=150,
+    )
+    eng, golden = _run_both(spark, tmp_path, cfg, "gone")
+    seen = _assert_match(spark, eng, golden)
+    statuses = set(seen["status"].unique())
+    assert {200, 301, 404}.issubset(statuses)
+    # no 404 URL ever appears twice in the log (no retry path)
+    log = eng.fetch_log.read(spark).toPandas()
+    gone_urls = log[log.status == 404].url
+    assert len(gone_urls) == gone_urls.nunique()
+    # and none produced an image
+    imgs = set(r["url"] for r in eng.images.read(spark).select("url").collect())
+    assert not (set(gone_urls) & imgs)
+    # gone counter recorded
+    total = sum(m["counters"]["gone_404"] for m in _manifests(eng))
+    assert total == len(gone_urls) > 0
+
+
 def test_redirect_default_off_is_byte_identical(spark, tmp_path):
     """permille=0 (default): the status expression and crawl results
     are the pre-redirect ones — golden parity on a faulty corpus plus

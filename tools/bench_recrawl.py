@@ -94,12 +94,17 @@ def _metrics(img: pd.DataFrame, horizon: int) -> dict:
 
 
 def run_mode(spark, mode: str, cfg, seeds, pol, horizon: int) -> dict:
-    wd = tempfile.mkdtemp(prefix=f"recrawl_ab_{mode}_")
+    wd = tempfile.mkdtemp(prefix=f"recrawl_ab_{mode.replace('+', '_')}_")
+    base, _, cond = mode.partition("+")
     kw = (
         {"recrawl_after": FIXED_TTL}
-        if mode == "fixed"
+        if base == "fixed"
         else {"recrawl_adaptive": (MIN_TTL, MAX_TTL)}
     )
+    if cond:
+        # conditional revalidation: unchanged refetches return 304 —
+        # a header-only exchange, no body/image append
+        kw["conditional_fetch"] = True
     eng = CrawlEngine(
         spark, wd, cfg, politeness_pdf=pol, use_cuckoo=False, cuckoo_pg=8, **kw
     )
@@ -108,8 +113,26 @@ def run_mode(spark, mode: str, cfg, seeds, pol, horizon: int) -> dict:
     eng.run(max_rounds=horizon)
     wall = round(time.time() - t0, 1)
     img = eng.images.read(spark).select("url", "round_id", "phash").toPandas()
+    sc = {
+        int(r["status"]): int(r["count"])
+        for r in eng.fetch_log.read(spark).groupBy("status").count().collect()
+    }
     shutil.rmtree(wd, ignore_errors=True)
-    return {"mode": mode, "wall_s": wall, **_metrics(img, horizon)}
+    requests = sc.get(200, 0) + sc.get(304, 0)
+    m = _metrics(img, horizon)
+    # in conditional modes the schedule's "wasted" refetches still
+    # happen as requests — they just cost a header, not a body
+    m.update(
+        {
+            "mode": mode,
+            "wall_s": wall,
+            "requests": requests,
+            "bodies": len(img),
+            "revalidated_304": sc.get(304, 0),
+            "body_saved_frac": round(1 - len(img) / max(1, requests), 4),
+        }
+    )
+    return m
 
 
 def main() -> None:
@@ -131,15 +154,15 @@ def main() -> None:
     )
     spark = get_spark("local[8]", shuffle_partitions=8, app_name="recrawl-ab")
     out_path = os.path.join(_REPO, "BENCH", "HISTORY_RECRAWL.jsonl")
-    rows = []
-    for mode in ("fixed", "adaptive"):
+    rows = {}
+    for mode in ("fixed", "fixed+cond", "adaptive", "adaptive+cond"):
         rec = run_mode(spark, mode, cfg, seeds, pol, horizon)
         rec.update({"ts": int(time.time()), "n_seeds": n_seeds, "rounds": horizon})
-        rows.append(rec)
+        rows[mode] = rec
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
-    fx, ad = rows
+    fx, ad = rows["fixed"], rows["adaptive"]
     print(
         f"\nadaptive vs fixed(ttl={FIXED_TTL}): "
         f"{ad['fetches'] / max(1, fx['fetches']):.2f}x fetch volume, "
@@ -148,6 +171,15 @@ def main() -> None:
         f"{ad['mean_capture_lag_rounds']} rounds, "
         f"missed {fx['missed_frac']:.1%} -> {ad['missed_frac']:.1%}"
     )
+    for base in ("fixed", "adaptive"):
+        pl, cd = rows[base], rows[base + "+cond"]
+        print(
+            f"{base}+cond vs {base}: requests {pl['requests']} -> "
+            f"{cd['requests']}, bodies {pl['bodies']} -> {cd['bodies']} "
+            f"({cd['body_saved_frac']:.1%} of requests header-only), "
+            f"lag {pl['mean_capture_lag_rounds']} -> "
+            f"{cd['mean_capture_lag_rounds']} rounds"
+        )
     spark.stop()
 
 
