@@ -385,6 +385,10 @@ class CrawlEngine:
             self._min_delay[h] = max(self._min_delay.get(h, 1), d)
         self._host_last: dict[str, int] = {}
         self._politeness_pdf = pp.reset_index(drop=True)
+        # O(1) base-budget lookups for the AIMD update loop
+        self._base_budgets = dict(
+            zip(map(str, pp["host"]), (int(b) for b in pp["budget"]))
+        )
         self.politeness = spark.createDataFrame(pp, schema="host string, budget int")
 
     # ----------------------------------------------------------- state
@@ -483,8 +487,7 @@ class CrawlEngine:
         return self.spark.createDataFrame(pdf, schema="host string, budget int")
 
     def _base_budget(self, host: str, default_budget: int = 16) -> int:
-        row = self._politeness_pdf[self._politeness_pdf["host"] == host]
-        return int(row["budget"].iloc[0]) if len(row) else default_budget
+        return self._base_budgets.get(host, default_budget)
 
     def _version_of(self, round_col):
         """Content version of `url` as served at round ``round_col`` —
@@ -577,14 +580,15 @@ class CrawlEngine:
                 ).alias("s")
             )
             .select(
+                # FRONTIER_SCHEMA column order
                 "url",
                 F.col("s.retry_count").alias("retry_count"),
                 (-F.col("s.nnb")).cast("int").alias("not_before"),
                 (-F.col("s.nd")).cast("int").alias("depth"),
                 (-F.col("s.nh")).cast("int").alias("hops"),
+                F.col("s.etag_round").cast("int").alias("etag_round"),
                 F.col("s.host").alias("host"),
                 F.col("s.priority").alias("priority"),
-                F.col("s.etag_round").cast("int").alias("etag_round"),
             )
         )
 
@@ -870,9 +874,9 @@ class CrawlEngine:
             ).cast("int").alias("not_before"),
             "depth",
             "hops",
+            "etag_round",
             "host",
             "priority",
-            "etag_round",
         )
         # cached: the seen-split consumes this subtree through several
         # semi/anti branches — without the cache the explode+groupBy

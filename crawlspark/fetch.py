@@ -100,21 +100,20 @@ def with_status(
     return df
 
 
-def redirect_target(n_hosts: int, target_space: int):
-    """Spark Column: the deterministic Location for a 301 row (expects
-    `url` and `host` columns). Bit-identical to synth.py_redirect_target
-    — same md5 arithmetic as the outlink generator."""
-    h_same = h60_sql("concat(url, '|rh')")
-    h_host = h60_sql("concat(url, '|rd')")
-    h_tgt = h60_sql("concat(url, '|rt')")
-    same = F.expr(f"pmod({h_same}, 10) < 5")
-    other_host = F.concat(
+def _other_host_col(hash_expr: str, n_hosts: int):
+    """Cross-host target: h{1 + hash % n_hosts}.example.com — the Spark
+    mirror of synth.host_name over a hash coin."""
+    return F.concat(
         F.lit("h"),
-        (F.expr(f"pmod({h_host}, {n_hosts})") + 1).cast("string"),
+        (F.expr(f"pmod({hash_expr}, {n_hosts})") + 1).cast("string"),
         F.lit(".example.com"),
     )
-    dst_host = F.when(same, F.col("host")).otherwise(other_host)
-    k = F.expr(f"pmod({h_tgt}, {target_space})")
+
+
+def _target_url_col(dst_host, k):
+    """THE synthetic target-URL shape (Spark side) — single source of
+    truth shared by outlink expansion and redirect Locations; mirrors
+    synth.target_url bit-for-bit."""
     return F.concat(
         F.lit("https://"),
         dst_host,
@@ -125,6 +124,20 @@ def redirect_target(n_hosts: int, target_space: int):
         F.lit("&s="),
         F.pmod(k, F.lit(7)).cast("string"),
     )
+
+
+def redirect_target(n_hosts: int, target_space: int):
+    """Spark Column: the deterministic Location for a 301 row (expects
+    `url` and `host` columns). Bit-identical to synth.py_redirect_target
+    — same md5 arithmetic as the outlink generator."""
+    h_same = h60_sql("concat(url, '|rh')")
+    h_tgt = h60_sql("concat(url, '|rt')")
+    same = F.expr(f"pmod({h_same}, 10) < 5")
+    dst_host = F.when(same, F.col("host")).otherwise(
+        _other_host_col(h60_sql("concat(url, '|rd')"), n_hosts)
+    )
+    k = F.expr(f"pmod({h_tgt}, {target_space})")
+    return _target_url_col(dst_host, k)
 
 
 def fetch_images(ok_urls: DataFrame, lineage_acc=None) -> DataFrame:
@@ -213,23 +226,11 @@ def expand_outlinks(
         .withColumn("_i", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
     )
     same = F.expr(f"pmod({h_same}, 10) < 8")
-    other_host = F.concat(
-        F.lit("h"),
-        (F.expr(f"pmod({h_host}, {n_hosts})") + 1).cast("string"),
-        F.lit(".example.com"),
+    dst_host = F.when(same, F.col("host")).otherwise(
+        _other_host_col(h_host, n_hosts)
     )
-    dst_host = F.when(same, F.col("host")).otherwise(other_host)
     k = F.expr(f"pmod({h_tgt}, {target_space})")
-    dst = F.concat(
-        F.lit("https://"),
-        dst_host,
-        F.lit("/img/"),
-        k.cast("string"),
-        F.lit("?p="),
-        F.pmod(k, F.lit(13)).cast("string"),
-        F.lit("&s="),
-        F.pmod(k, F.lit(7)).cast("string"),
-    )
+    dst = _target_url_col(dst_host, k)
     cols = [dst.alias("dst_url"), (F.col("depth") + 1).alias("depth")]
     if keep_src:
         cols.insert(0, F.col("url").alias("src_url"))

@@ -193,19 +193,16 @@ GROUP BY host, allowed
 # Spark: 5 bounded self-left-joins (the iterative-resolution plan shape
 # that scales — each pass is one shuffle, never a recursive blowup);
 # DuckDB oracle: WITH RECURSIVE walk bounded at 5 hops.
-_REDIR_COIN_SPARK = (
-    "substring(md5(concat(url, '|redir')), 1, 1) IN ('0','1','2','3')"
-)
-_REDIR_COIN_DUCK = (
-    "substring(md5(concat(url, '|redir')), 1, 1) IN ('0','1','2','3')"
-)
+# one constant for BOTH engines (md5-substring SQL is portable); the
+# oracle rewrites the column reference with .replace where it aliases
+_REDIR_COIN = "substring(md5(concat(url, '|redir')), 1, 1) IN ('0','1','2','3')"
 
 
 def redirect_chain_resolve(spark, sf):
     u = _urls(spark, sf).select("doc_id", "url")
     n = u.count()  # one tiny scalar agg; the modulus is a plan literal
     edges = (
-        u.filter(F.expr(_REDIR_COIN_SPARK))
+        u.filter(F.expr(_REDIR_COIN))
         .withColumn("_tgt", (F.col("doc_id").cast("bigint") * 48271 + 7) % n)
         .join(
             u.select(F.col("doc_id").alias("_tgt"), F.col("url").alias("dst")),
@@ -243,7 +240,7 @@ edges AS (
   SELECT r.url AS src, t.url AS dst
   FROM u r CROSS JOIN n
   JOIN u t ON t.doc_id = (r.doc_id::BIGINT * 48271 + 7) % n.c
-  WHERE {_REDIR_COIN_DUCK.replace('url', 'r.url')}
+  WHERE {_REDIR_COIN.replace('url', 'r.url')}
 ),
 walk(doc_id, url, cur, hops) AS (
   SELECT doc_id, url, url, 0 FROM u

@@ -81,6 +81,13 @@ def host_name(i: int) -> str:
     return f"h{i}.example.com"
 
 
+def target_url(dst_host: str, k: int) -> str:
+    """THE synthetic target-URL shape — single source of truth shared by
+    outlink expansion and redirect Locations (Python side; the Spark
+    mirror is fetch._target_url_col)."""
+    return f"https://{dst_host}/img/{k}?p={k % 13}&s={k % 7}"
+
+
 def budget_for_hostid(i: int) -> int:
     """Per-host politeness budget per round: hot hosts get more budget
     but still bind under Zipf skew (FIXTURES.md §4)."""
@@ -193,7 +200,7 @@ def py_redirect_target(url: str, cfg: SynthConfig) -> str:
     else:
         dst_host = host_name(1 + py_h60(url + "|rd") % cfg.n_hosts)
     k = py_h60(url + "|rt") % cfg.target_space
-    return f"https://{dst_host}/img/{k}?p={k % 13}&s={k % 7}"
+    return target_url(dst_host, k)
 
 
 def py_outlinks(url: str, depth: int, cfg: SynthConfig) -> list[str]:
@@ -209,5 +216,5 @@ def py_outlinks(url: str, depth: int, cfg: SynthConfig) -> list[str]:
         else:
             dst_host = host_name(1 + py_h60(url + f"|h{i}") % cfg.n_hosts)
         k = py_h60(url + f"|t{i}") % cfg.target_space
-        out.append(f"https://{dst_host}/img/{k}?p={k % 13}&s={k % 7}")
+        out.append(target_url(dst_host, k))
     return out

@@ -10,10 +10,9 @@ round manifest, so kill-resume replays bit-identically.
 
 from __future__ import annotations
 
-import json
-import os
-
 import pandas as pd
+
+from helpers import read_manifests
 
 from crawlspark.engine import CrawlEngine
 from crawlspark.golden import simulate
@@ -52,13 +51,6 @@ def _log(spark, eng):
     )
 
 
-def _manifests(eng):
-    out = []
-    for f in sorted(os.listdir(eng.state_dir)):
-        if f.startswith("round-") and f.endswith(".json"):
-            with open(os.path.join(eng.state_dir, f)) as fh:
-                out.append(json.load(fh))
-    return out
 
 
 def test_adaptive_budget_matches_golden(spark, tmp_path):
@@ -89,7 +81,7 @@ def test_adaptive_budget_matches_golden(spark, tmp_path):
 
     # the learned budgets actually moved in BOTH directions: some host
     # got halved below base (504 observed), some ramped above base
-    budgets = [b for m in _manifests(eng) for b in m["host_budget"].values()]
+    budgets = [b for m in read_manifests(eng) for b in m["host_budget"].values()]
     assert budgets, "no adaptive state recorded in manifests"
     assert min(budgets) < BASE, "no halving event — fault model inert?"
     assert max(budgets) > BASE, "no ramp event"
@@ -118,5 +110,5 @@ def test_adaptive_budget_kill_resume(spark, tmp_path):
     a, b = _log(spark, full), _log(spark, resumed)
     pd.testing.assert_frame_equal(a, b)
     # resumed run restored the learned budgets, not re-derived from base
-    ma, mb = _manifests(full)[-1], _manifests(resumed)[-1]
+    ma, mb = read_manifests(full)[-1], read_manifests(resumed)[-1]
     assert ma["host_budget"] == mb["host_budget"]

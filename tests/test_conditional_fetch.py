@@ -1,7 +1,8 @@
 """Conditional revalidation (CrawlEngine conditional_fetch=True).
 
 On recrawl refetches the engine sends the ETag analogue (content
-version at the last 200, looked up from the seen table) and the server
+version at the last 200, carried by the frontier row's etag_round) and
+the server
 short-circuits unchanged content with 304: no body, no image append, no
 outlink re-expansion — but the seen row's round_id refreshes and the
 adaptive ttl doubles (a 304 IS an observed "unchanged"). HTTP
@@ -13,6 +14,8 @@ become header-only exchanges.
 from __future__ import annotations
 
 import pandas as pd
+
+from helpers import read_manifests
 
 from crawlspark.engine import CrawlEngine
 from crawlspark.hashing import py_h60
@@ -115,21 +118,11 @@ def test_adaptive_ab_conditional_vs_plain(spark, tmp_path):
 
     # the saving is recorded: revalidated counters sum to the 304 count
     total_rv = sum(
-        m["counters"].get("revalidated", 0) for m in _manifests(b)
+        m["counters"].get("revalidated", 0) for m in read_manifests(b)
     )
     assert total_rv == int((lb.status == 304).sum()) > 0
 
 
-def _manifests(eng):
-    import json
-    import os
-
-    out = []
-    for f in sorted(os.listdir(eng.state_dir)):
-        if f.startswith("round-") and f.endswith(".json"):
-            with open(os.path.join(eng.state_dir, f)) as fh:
-                out.append(json.load(fh))
-    return out
 
 
 def test_static_corpus_pure_revalidation(spark, tmp_path):

@@ -22,6 +22,8 @@ import pandas as pd
 import pytest
 
 from crawlspark.canon import py_canonicalize
+from helpers import read_manifests
+
 from crawlspark.engine import CrawlEngine
 from crawlspark.golden import REDIRECT_STATUS, simulate
 from crawlspark.ops import crawlops as C
@@ -103,21 +105,11 @@ def test_redirect_crawl_matches_golden(spark, tmp_path):
     assert chained, "no redirect chains exercised — rate too low?"
     # redirected counter recorded in the round manifests
     total = sum(
-        m["counters"]["redirected"] for m in _manifests(eng) if "counters" in m
+        m["counters"]["redirected"] for m in read_manifests(eng) if "counters" in m
     )
     assert total == len(seen_301) > 0
 
 
-def _manifests(eng):
-    import json
-    import os
-
-    out = []
-    for f in sorted(os.listdir(eng.state_dir)):
-        if f.startswith("round-") and f.endswith(".json"):
-            with open(os.path.join(eng.state_dir, f)) as fh:
-                out.append(json.load(fh))
-    return out
 
 
 def test_all_redirects_terminate_at_hop_cap(spark, tmp_path):
@@ -166,7 +158,7 @@ def test_gone_404_with_redirects_matches_golden(spark, tmp_path):
     imgs = set(r["url"] for r in eng.images.read(spark).select("url").collect())
     assert not (set(gone_urls) & imgs)
     # gone counter recorded
-    total = sum(m["counters"]["gone_404"] for m in _manifests(eng))
+    total = sum(m["counters"]["gone_404"] for m in read_manifests(eng))
     assert total == len(gone_urls) > 0
 
 

@@ -30,9 +30,9 @@ def test_kill_resume_bit_identical(spark, tmp_path):
     broken.run(max_rounds=25, stop_after=2)
     # crash mid-round-2: partial appends land, round manifest does not
     junk_f = spark.createDataFrame(
-        [("https://junk.example.com/x", 0, 99, 0, 0, "junk.example.com", 0.5, -1)],
+        [("https://junk.example.com/x", 0, 99, 0, 0, -1, "junk.example.com", 0.5)],
         "url string, retry_count int, not_before int, depth int, hops int, "
-        "host string, priority double, etag_round int",
+        "etag_round int, host string, priority double",
     )
     broken.frontier.append(junk_f)
     broken.seen.append(

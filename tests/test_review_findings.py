@@ -165,9 +165,9 @@ def test_add_seeds_after_crash_is_bit_identical(spark, tmp_path):
     # resume() must discard and add_seeds must not merge against
     broken.frontier.append(
         spark.createDataFrame(
-            [("https://junk.example.com/x", 0, 99, 0, 0, "junk.example.com", 0.5, -1)],
+            [("https://junk.example.com/x", 0, 99, 0, 0, -1, "junk.example.com", 0.5)],
             "url string, retry_count int, not_before int, depth int, hops int, "
-            "host string, priority double, etag_round int",
+            "etag_round int, host string, priority double",
         )
     )
     broken.seen.append(

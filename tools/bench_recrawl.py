@@ -118,7 +118,9 @@ def run_mode(spark, mode: str, cfg, seeds, pol, horizon: int) -> dict:
         for r in eng.fetch_log.read(spark).groupBy("status").count().collect()
     }
     shutil.rmtree(wd, ignore_errors=True)
-    requests = sc.get(200, 0) + sc.get(304, 0)
+    # every logged exchange is a request (200/304 today since the A/B
+    # corpus is fault-free; 504/301/404 rows would count too)
+    requests = sum(sc.values())
     m = _metrics(img, horizon)
     # in conditional modes the schedule's "wasted" refetches still
     # happen as requests — they just cost a header, not a body
