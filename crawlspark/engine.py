@@ -54,7 +54,13 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .canon import canonicalize
-from .fetch import expand_outlinks, fetch_images, redirect_target, with_status
+from .fetch import (
+    expand_outlinks,
+    fetch_images,
+    redirect_target,
+    retry_after_col,
+    with_status,
+)
 from .hashing import h60
 from .politeness import filter_robots, filter_robots_rep, select_budget
 from .snaptable import BucketedTable, SnapTable, atomic_write_json
@@ -66,6 +72,7 @@ PERM_FAIL_STATUS = -504
 REDIRECT_STATUS = 301
 NOT_MODIFIED_STATUS = 304
 GONE_STATUS = 404
+THROTTLED_STATUS = 429
 
 FRONTIER_SCHEMA = T.StructType(
     [
@@ -522,6 +529,7 @@ class CrawlEngine:
             self.cfg.fault_free,
             self.cfg.redirect_permille,
             self.cfg.gone_permille,
+            (self.cfg.throttle_permille, round_id),
         )
         if not self.conditional_fetch:
             return sel
@@ -774,6 +782,17 @@ class CrawlEngine:
                 "revalidated"
             ),
             F.sum((F.col("status") == GONE_STATUS).cast("int")).alias("gone_404"),
+            # 429s come back eligible at round + Retry-After (1..3):
+            # per-k sums drive the future-round schedule exactly
+            *[
+                F.sum(
+                    (
+                        (F.col("status") == THROTTLED_STATUS)
+                        & (retry_after_col() == k)
+                    ).cast("int")
+                ).alias(f"thr_ra{k}")
+                for k in (1, 2, 3)
+            ],
             # 301s whose Location actually enqueues (under the hop cap):
             # these create next-round work even when nothing expanded
             F.sum(
@@ -878,6 +897,25 @@ class CrawlEngine:
             "host",
             "priority",
         )
+        if self.cfg.throttle_permille > 0:
+            # 429: honor Retry-After — the row re-enters the frontier
+            # UNCHANGED (retry_count not consumed: the request never
+            # reached the handler), eligible again at round + ra
+            throttled_rows = selected.filter(
+                F.col("status") == THROTTLED_STATUS
+            ).select(
+                "url",
+                F.col("retry_count").cast("int"),
+                (F.lit(round_id) + retry_after_col()).cast("int").alias(
+                    "not_before"
+                ),
+                "depth",
+                "hops",
+                "etag_round",
+                "host",
+                "priority",
+            )
+            retries = retries.unionByName(throttled_rows)
         # cached: the seen-split consumes this subtree through several
         # semi/anti branches — without the cache the explode+groupBy
         # re-executes once per branch inside the frontier-update job
@@ -1199,7 +1237,13 @@ class CrawlEngine:
                 health = (
                     selected.groupBy("host")
                     .agg(
-                        F.max((F.col("status") == 504).cast("int")).alias("bad")
+                        # a 429 is the server explicitly asking to back
+                        # off — same AIMD signal as a 504
+                        F.max(
+                            F.col("status")
+                            .isin(504, THROTTLED_STATUS)
+                            .cast("int")
+                        ).alias("bad")
                     )
                     .collect()
                 )
@@ -1343,11 +1387,18 @@ class CrawlEngine:
             "redirected": int(stats["redirected"] or 0),
             "revalidated": int(stats["revalidated"] or 0),
             "gone_404": int(stats["gone_404"] or 0),
+            "throttled": sum(int(stats[f"thr_ra{k}"] or 0) for k in (1, 2, 3)),
             "future_rounds": sorted(
                 {
                     round_id + 1 + self.cfg.retry_backoff_step * k
                     for k in range(self.cfg.max_retries)
                     if int(stats[f"retry_rc{k}"] or 0) > 0
+                }
+                # 429 rows come back exactly at round + Retry-After
+                | {
+                    round_id + k
+                    for k in (1, 2, 3)
+                    if int(stats[f"thr_ra{k}"] or 0) > 0
                 }
                 | ({round_id + 1} if int(stats["expandable"] or 0) > 0 else set())
                 # redirect Locations enqueue for the next round (may be

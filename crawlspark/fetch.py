@@ -53,15 +53,18 @@ def with_status(
     fault_free: bool = False,
     redirect_permille: int = 0,
     gone_permille: int = 0,
+    throttle: tuple[int, int] | None = None,
 ) -> DataFrame:
     """status = f(url, retry_count): ~2% of URLs 504 for fail_times
     attempts; fail_times==4 exceeds max retries → permanent failure.
     ``fault_free`` mirrors SynthConfig.fault_free (steady-state bench
-    workloads): every fetch returns 200. ``gone_permille`` > 0 404s a
-    deterministic fraction permanently (no retry, unlike 504);
+    workloads): every fetch returns 200. ``throttle=(permille,
+    round_id)`` 429s a deterministic fraction of (url, round) attempts
+    (transient — the coin re-flips each round); ``gone_permille`` > 0
+    404s a fraction permanently (no retry, unlike 504);
     ``redirect_permille`` > 0 301s a fraction (highest precedence —
-    a 3xx IS a completed HTTP exchange). Matches synth.py_is_gone /
-    py_is_redirect bit-for-bit."""
+    a 3xx IS a completed HTTP exchange). Matches synth.py_is_throttled
+    / py_is_gone / py_is_redirect bit-for-bit."""
     if fault_free:
         df = selected.withColumn("status", F.lit(200).cast("int"))
     else:
@@ -76,6 +79,15 @@ def with_status(
             F.expr(
                 f"CASE WHEN retry_count < ({fail_times}) THEN 504 ELSE 200 END"
             ).cast("int"),
+        )
+    if throttle is not None and throttle[0] > 0:
+        permille, round_id = throttle
+        ht = h60_sql(f"concat(url, '|thr{int(round_id)}')")
+        df = df.withColumn(
+            "status",
+            F.when(F.expr(f"pmod({ht}, 1000) < {int(permille)}"), F.lit(429))
+            .otherwise(F.col("status"))
+            .cast("int"),
         )
     if gone_permille > 0:
         hg = h60_sql("concat(url, '|gone')")
@@ -98,6 +110,14 @@ def with_status(
             .cast("int"),
         )
     return df
+
+
+def retry_after_col():
+    """Retry-After header of a 429 row, in rounds (1-3) — the Spark
+    mirror of synth.py_retry_after."""
+    return (1 + F.pmod(F.expr(h60_sql("concat(url, '|ra')")), F.lit(3))).cast(
+        "int"
+    )
 
 
 def _other_host_col(hash_expr: str, n_hosts: int):

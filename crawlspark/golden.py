@@ -25,9 +25,11 @@ from .synth import (
     budget_for_hostid,
     py_is_gone,
     py_is_redirect,
+    py_is_throttled,
     py_outlinks,
     py_priority,
     py_redirect_target,
+    py_retry_after,
     py_status,
     robots_denied,
 )
@@ -36,6 +38,7 @@ ROBOTS_DENIED_STATUS = -1
 PERM_FAIL_STATUS = -504
 REDIRECT_STATUS = 301
 GONE_STATUS = 404
+THROTTLED_STATUS = 429
 
 
 def _host_of(url: str) -> str:
@@ -176,9 +179,11 @@ def simulate(
                 status = REDIRECT_STATUS
             elif py_is_gone(u, cfg):
                 status = GONE_STATUS
+            elif py_is_throttled(u, r, cfg):
+                status = THROTTLED_STATUS
             else:
                 status = 200 if cfg.fault_free else py_status(u, rc)
-            round_bad[host] = round_bad.get(host, False) or status == 504
+            round_bad[host] = round_bad.get(host, False) or status in (504, 429)
             log_rows.append(
                 {
                     "round_id": r,
@@ -189,7 +194,12 @@ def simulate(
                     "retry_count": rc,
                 }
             )
-            if status == GONE_STATUS:
+            if status == THROTTLED_STATUS:
+                # server back-pressure: honor Retry-After — the row
+                # re-enters the frontier unchanged (no retry consumed,
+                # not seen), eligible again at r + Retry-After
+                frontier[u] = (rc, r + py_retry_after(u), dep, hp)
+            elif status == GONE_STATUS:
                 # permanent client error: resolved, no body, NO retry
                 seen[u] = (GONE_STATUS, r)
                 del frontier[u]

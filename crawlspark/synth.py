@@ -52,6 +52,14 @@ class SynthConfig:
     # thirds stay bit-identical forever. None (default) = today's
     # fully static corpus — every existing golden/test is unaffected.
     change_period: int | None = None
+    # transient 429 throttling: when > 0, a deterministic
+    # throttle_permille/1000 fraction of (url, round) pairs return 429
+    # with Retry-After = 1 + h60(url|ra) % 3 rounds. The URL re-enters
+    # the frontier at not_before = round + Retry-After WITHOUT
+    # consuming a retry (it never reached the server's handler) and is
+    # NOT marked seen. The coin is per-(url, round), so a throttled URL
+    # eventually gets through. Precedence: 301 > 404 > 429 > fault.
+    throttle_permille: int = 0
     # permanent 404s: when > 0, a deterministic gone_permille/1000
     # fraction of URLs (h60(url|gone) % 1000) return 404 — a PERMANENT
     # client error: no body, no retry (unlike the transient-504 fault
@@ -180,6 +188,20 @@ def py_is_redirect(url: str, cfg: SynthConfig) -> bool:
         cfg.redirect_permille > 0
         and py_h60(url + "|redir") % 1000 < cfg.redirect_permille
     )
+
+
+def py_is_throttled(url: str, round_id: int, cfg: SynthConfig) -> bool:
+    """Whether this (url, round) attempt gets a 429 (transient coin —
+    later rounds re-flip, so throttled URLs eventually pass)."""
+    return (
+        cfg.throttle_permille > 0
+        and py_h60(f"{url}|thr{round_id}") % 1000 < cfg.throttle_permille
+    )
+
+
+def py_retry_after(url: str) -> int:
+    """Retry-After header value in rounds (1-3), a pure URL hash."""
+    return 1 + py_h60(url + "|ra") % 3
 
 
 def py_is_gone(url: str, cfg: SynthConfig) -> bool:
