@@ -31,7 +31,7 @@ is ALWAYS printed with whatever completed.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 CRAWLSPARK_BENCH_SEEDS (default 150000), CRAWLSPARK_BENCH_DEADLINE_SEC
-(default 2400), CRAWLSPARK_BENCH_MAX_PAIRS (default 3),
+(default 2400), CRAWLSPARK_BENCH_MAX_PAIRS (default 6),
 CRAWLSPARK_SKIP_SCALING=1, CRAWLSPARK_CLUSTER_SHAPE (default 1x4:4x4).
 """
 
@@ -285,7 +285,7 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
         "window_probes": [],
         "criterion_met": False,
     }
-    pair_cost = 800.0  # initial guess; replaced by observed worst pair
+    pair_cost = 700.0  # initial guess; replaced by observed worst pair
     attempts = 0
     while attempts < max_pairs:
         remaining = deadline - time.time() - _RESERVE
@@ -534,7 +534,7 @@ def main() -> None:
         # not scheduler latency (50k pairs cap out ~0.4 even in clean
         # windows; 300k pushes tmpfs pressure — BENCH/NOTES.md)
         n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
-        max_pairs = int(os.environ.get("CRAWLSPARK_BENCH_MAX_PAIRS", "3"))
+        max_pairs = int(os.environ.get("CRAWLSPARK_BENCH_MAX_PAIRS", "6"))
         cluster = run_cluster_pairs(n_seeds, deadline, max_pairs)
         if cluster:
             result["crawl_cluster"] = cluster

@@ -48,6 +48,37 @@ FETCHED_SCHEMA = T.StructType(
 )
 
 
+def warm_workers(spark) -> None:
+    """Spawn + warm the executor Python-worker pool: one trivial Arrow
+    task per core imports the fetch codec (numpy + zlib + the DCT
+    tables) and synthesizes one image. With spark.python.worker.reuse
+    (Spark default) the warmed workers then serve every later
+    mapInPandas stage, so the first fetch round measures fetching, not
+    interpreter start + numpy import. A continuous crawl amortizes this
+    to zero anyway; calling it at seed-load time makes the first round
+    behave like every other round. Cost: one ~second-scale job per
+    session (later calls reuse the live pool and return quickly)."""
+
+    def _warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _REPO_ROOT not in sys.path:
+            sys.path.insert(0, _REPO_ROOT)
+        from crawlspark.codec import synth_image
+
+        synth_image("https://warm.invalid/0")
+        for pdf in batches:
+            yield pdf
+
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n)
+        .repartition(n)
+        .mapInPandas(_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
 def with_status(
     selected: DataFrame,
     fault_free: bool = False,

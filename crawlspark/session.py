@@ -87,6 +87,20 @@ def get_spark(
         # binary image rows are large; cap Arrow batch size so a batch of
         # (bytes,w,h) rows stays well under executor memory at 100TB scale
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # checksum hygiene for a bytes-heavy workload: Hadoop's default
+        # LocalFileSystem wraps every write in a ChecksumFileSystem that
+        # streams ALL bytes through CRC32 and writes .crc sidecars, and
+        # parquet adds its own page-level CRCs — measured 10% of the
+        # 16-core fetch+append stage on the ~37KB/row image payload
+        # (BENCH/NOTES.md round 5: parquet sink scaling 0.74 -> 0.89
+        # once removed). The engine's durability story is snapshot
+        # manifests + atomic commits, not per-page CRCs; on a real
+        # cluster HDFS/S3 do integrity end-to-end anyway.
+        .config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.RawLocalFileSystem",
+        )
+        .config("spark.hadoop.parquet.page.write-checksum.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "48g"))
     )
