@@ -79,6 +79,8 @@ def simulate(
     robots_rep_fn=None,
     adaptive_budget=None,
     priority_aging=None,
+    sitemap_fn=None,
+    max_pages_fn=None,
 ) -> GoldenResult:
     """``min_delay_fn(hostid) -> d`` (optional): a host selected in
     round r is untouched (no robots marking, no budget) until round
@@ -99,11 +101,26 @@ def simulate(
 
     ``priority_aging=alpha`` (optional): rank by priority + alpha *
     rounds-ripe (r - not_before) — the engine's starvation-freedom
-    order, same IEEE double arithmetic."""
+    order, same IEEE double arithmetic.
+
+    ``sitemap_fn(hostid) -> [url, ...] | None`` (optional): the host's
+    robots-advertised sitemap. The FIRST round a host is selected, its
+    entries (canonicalized, not already seen) join the frontier
+    eligible from the next round — depth 0, hops 0, the engine's
+    sitemap-discovery semantics exactly.
+
+    ``max_pages_fn(hostid) -> int | None`` (optional): cumulative
+    per-host page quota. Selection budget is capped at max_pages minus
+    status-200 bodies fetched so far (robots denials, 3xx/404/429/504
+    consume no quota; recrawl refetches do). Exhausted hosts' pending
+    rows stay pending forever — matching the engine, which leaves them
+    resumable under a raised quota."""
     import re as _re
     budget_fn = budget_fn or (lambda hostid: budget_for_hostid(hostid))
     host_last: dict[str, int] = {}
     host_budget: dict[str, int] = {}
+    host_pages: dict[str, int] = {}
+    contacted: set[str] = set()
     # frontier entries: url -> (retry_count, not_before, depth, hops)
     # hops = redirect-chain length that led here (0 for seeds/outlinks)
     frontier: dict[str, tuple[int, int, int, int]] = {}
@@ -159,6 +176,10 @@ def simulate(
         selected = []
         for host, rows in by_host.items():
             budget = host_budget.get(host, budget_fn(_hostid(host)))
+            if max_pages_fn is not None:
+                mp = max_pages_fn(_hostid(host))
+                if mp is not None:
+                    budget = min(budget, max(0, mp - host_pages.get(host, 0)))
             if priority_aging:
                 rows.sort(
                     key=lambda t: (
@@ -217,6 +238,7 @@ def simulate(
             elif status == 200:
                 seen[u] = (200, r)
                 del frontier[u]
+                host_pages[host] = host_pages.get(host, 0) + 1
                 for raw in py_outlinks(u, dep, cfg):
                     cu = py_canonicalize(raw)
                     if cu in seen:
@@ -238,6 +260,31 @@ def simulate(
                 host_budget[host] = (
                     max(mn_b, cur // 2) if bad else min(mx_b, cur + 1)
                 )
+        if sitemap_fn is not None:
+            # first-contact sitemap discovery: entries of hosts selected
+            # for the first time this round enter the frontier eligible
+            # from r+1 (skipping anything already seen, including this
+            # round's resolutions — the engine's anti-join pair)
+            for host in {s[0] for s in selected}:
+                if host in contacted:
+                    continue
+                contacted.add(host)
+                for raw in sitemap_fn(_hostid(host)) or []:
+                    cu = py_canonicalize(raw)
+                    if cu not in seen:
+                        _enqueue(frontier, cu, r + 1, 0, 0)
+        if max_pages_fn is not None and not selected:
+            # every remaining row on a quota-exhausted host is dead
+            # forever; stop once nothing else can ever be selected
+            # (matches the engine's future-round scheduling, which
+            # stops rescheduling once a round selects nothing)
+            def _alive(u: str) -> bool:
+                h = _host_of(u)
+                mp = max_pages_fn(_hostid(h))
+                return mp is None or mp - host_pages.get(h, 0) > 0
+
+            if not any(_alive(u) for u in frontier if u not in seen):
+                break
         r += 1
     order = pd.DataFrame(
         log_rows,

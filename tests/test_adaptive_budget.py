@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from helpers import read_manifests
+from helpers import host_budgets_at, read_manifests
 
 from crawlspark.engine import CrawlEngine
 from crawlspark.golden import simulate
@@ -39,6 +39,9 @@ def _mk(spark, tmp_path, name, cfg):
         politeness_pdf=_pol(cfg),
         use_cuckoo=False,
         adaptive_budget=ADAPT,
+        # budget-history assertions read host_state at every round's
+        # manifest snapshot, so keep expired snapshots around
+        snapshot_gc=False,
     )
 
 
@@ -80,9 +83,17 @@ def test_adaptive_budget_matches_golden(spark, tmp_path):
     pd.testing.assert_frame_equal(seen.astype(c), gs.astype(c))
 
     # the learned budgets actually moved in BOTH directions: some host
-    # got halved below base (504 observed), some ramped above base
-    budgets = [b for m in read_manifests(eng) for b in m["host_budget"].values()]
-    assert budgets, "no adaptive state recorded in manifests"
+    # got halved below base (504 observed), some ramped above base.
+    # State lives in the host_state table (snapshot id per manifest) —
+    # the manifests themselves stay O(1) in host cardinality.
+    manifests = read_manifests(eng)
+    assert all(
+        "host_budget" not in m and "host_last" not in m for m in manifests
+    ), "per-host dicts back in the manifest — host_state regressed"
+    budgets = [
+        b for m in manifests for b in host_budgets_at(spark, eng, m).values()
+    ]
+    assert budgets, "no adaptive state recorded in host_state"
     assert min(budgets) < BASE, "no halving event — fault model inert?"
     assert max(budgets) > BASE, "no ramp event"
     # AIMD invariants: every recorded budget inside [min_b, max_b]
@@ -111,4 +122,6 @@ def test_adaptive_budget_kill_resume(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     # resumed run restored the learned budgets, not re-derived from base
     ma, mb = read_manifests(full)[-1], read_manifests(resumed)[-1]
-    assert ma["host_budget"] == mb["host_budget"]
+    assert host_budgets_at(spark, full, ma) == host_budgets_at(
+        spark, resumed, mb
+    )

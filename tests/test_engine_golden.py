@@ -61,7 +61,14 @@ def test_image_row_invariants(spark, crawl):
 def test_lineage_and_counters_recorded(crawl):
     m = crawl["engine"].last_round()
     assert m is not None
-    assert set(m["snapshots"]) == {"frontier", "url_seen", "images", "fetch_log", "cuckoo"}
+    assert set(m["snapshots"]) == {
+        "frontier",
+        "url_seen",
+        "images",
+        "fetch_log",
+        "cuckoo",
+        "host_state",
+    }
     head = crawl["engine"].last_round()
     # some round recorded per-partition lineage with positive rows
     import json

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from helpers import read_manifests
+from helpers import host_budgets_at, read_manifests
 
 from crawlspark.engine import CrawlEngine
 from crawlspark.golden import simulate
@@ -111,19 +111,29 @@ def test_throttle_drives_aimd_backoff(spark, tmp_path):
         throttle_permille=250,
     )
     eng, golden = _run_both(
-        spark, tmp_path, cfg, "thr_aimd", budget=8, adaptive_budget=(2, 30)
+        spark,
+        tmp_path,
+        cfg,
+        "thr_aimd",
+        budget=8,
+        adaptive_budget=(2, 30),
+        # budget history is read per-manifest from host_state snapshots
+        snapshot_gc=False,
     )
     log, _ = _assert_match(spark, eng, golden)
     assert set(log.status) <= {200, 429} and 429 in set(log.status)
-    budgets = [b for m in read_manifests(eng) for b in m["host_budget"].values()]
+    per_round = [
+        host_budgets_at(spark, eng, m) for m in read_manifests(eng)
+    ]
+    budgets = [b for d in per_round for b in d.values()]
     assert min(budgets) < 8, "429s did not trigger AIMD back-off"
     # at 25% per-URL throttle most host-rounds contain a 429, so
     # budgets live BELOW base; ramping shows as +1 recoveries between
     # halvings, i.e. successive manifests where a host's budget rose
     rose = False
     prev: dict[str, int] = {}
-    for m in read_manifests(eng):
-        for h, b in m["host_budget"].items():
+    for d in per_round:
+        for h, b in d.items():
             if h in prev and b == prev[h] + 1:
                 rose = True
             prev[h] = b
