@@ -191,6 +191,8 @@ def export_training_set(
     mix: dict | None = None,
     redact_captions: bool = False,
     sources: dict | None = None,
+    decontaminate_df: DataFrame | None = None,
+    decontaminate_n: int = 8,
 ) -> dict:
     """Curate + shard + atomically publish one training-set release.
 
@@ -218,6 +220,15 @@ def export_training_set(
                free inside the existing projection). Recorded in the
                manifest filters; deltas inherit it from the series.
     sources:   provenance to pin in the manifest (snapshot ids).
+    decontaminate_df: optional benchmark corpus (must expose a
+               `caption` column). Rows sharing any word n-gram
+               (decontaminate_n) with it are DROPPED before curation —
+               ops/text.decontaminate run over (image_id, caption)
+               only, so the broadcast-shingle semi-join never carries
+               image bytes and the flagged-id relation is
+               O(contamination). The policy ({n}) lands in the
+               manifest filters (deltas must honor it) and every
+               release attests its own dropped count.
     """
     df = images_df
     if dedup_df is not None:
@@ -227,7 +238,28 @@ def export_training_set(
             .filter(~F.coalesce(F.col("is_dup"), F.lit(False)))
             .drop("is_dup")
         )
+    decon_dropped = None
+    bad = None
+    if decontaminate_df is not None:
+        from .ops.text import decontaminate
+
+        bad = (
+            decontaminate(
+                df.select("image_id", "caption"),
+                decontaminate_df,
+                n=decontaminate_n,
+                text_col="caption",
+                id_col="image_id",
+            )
+            .filter(F.col("contaminated"))
+            .select("image_id")
+            .cache()
+        )
+        decon_dropped = bad.count()  # O(contamination) rows
+        df = df.join(bad, "image_id", "left_anti")
     df, filters, persisted = _curate(df, min_entropy, min_lap_var)
+    if decontaminate_df is not None:
+        filters["decontaminate"] = {"n": decontaminate_n}
     if mix:
         from .ops.sampling import quotas_for_mix, stratified_quota
 
@@ -292,6 +324,10 @@ def export_training_set(
             "sources": sources or {},
             "previous_data_dirs": _dirs(prev) if prev else [],
         }
+        if decon_dropped is not None:
+            manifest["decontamination"] = {"dropped": decon_dropped}
+        if bad is not None:
+            bad.unpersist()
         atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
         return manifest
     df = shard_by_rank(df, "image_id", shard_rows)
@@ -299,6 +335,8 @@ def export_training_set(
     shards = _write_release(spark, df, out_root, data_dir)
     if persisted is not None:
         persisted.unpersist()
+    if bad is not None:
+        bad.unpersist()
     n_rows = sum(s["rows"] for s in shards.values())
     _assert_full_shards(shards, shard_rows)
     manifest = {
@@ -313,6 +351,8 @@ def export_training_set(
         "sources": sources or {},
         "previous_data_dirs": _dirs(prev) if prev else [],
     }
+    if decon_dropped is not None:
+        manifest["decontamination"] = {"dropped": decon_dropped}
     atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
     return manifest
 
@@ -323,6 +363,7 @@ def export_training_delta(
     out_root: str,
     dedup_df: DataFrame | None = None,
     sources: dict | None = None,
+    decontaminate_df: DataFrame | None = None,
 ) -> dict:
     """Append one DELTA release to an existing series: only the rows in
     ``delta_images_df`` (the images added since the series' recorded
@@ -377,6 +418,39 @@ def export_training_delta(
             .join(touched, "keeper_id", "left_anti")
             .drop("keeper_id", "is_dup")
         )
+    # series decontamination policy: a delta must ship with the same
+    # hygiene — the caller re-supplies the benchmark corpus (the policy
+    # pins n; the manifest attests this release's dropped count)
+    dec = prev["filters"].get("decontaminate")
+    decon_dropped = None
+    bad = None
+    if dec:
+        if decontaminate_df is None:
+            raise ValueError(
+                "series decontaminates against a benchmark (filters."
+                "decontaminate): pass decontaminate_df to the delta"
+            )
+        from .ops.text import decontaminate
+
+        bad = (
+            decontaminate(
+                df.select("image_id", "caption"),
+                decontaminate_df,
+                n=int(dec["n"]),
+                text_col="caption",
+                id_col="image_id",
+            )
+            .filter(F.col("contaminated"))
+            .select("image_id")
+            .cache()
+        )
+        decon_dropped = bad.count()
+        df = df.join(bad, "image_id", "left_anti")
+    elif decontaminate_df is not None:
+        raise ValueError(
+            "series has no decontamination policy: re-release with "
+            "export_training_set to introduce one"
+        )
     df, _, persisted = _curate(
         df, prev["filters"].get("min_entropy"), prev["filters"].get("min_lap_var")
     )
@@ -391,7 +465,11 @@ def export_training_delta(
         # data dir, so the next delta diffs from the right snapshot
         if persisted is not None:
             persisted.unpersist()
+        if bad is not None:
+            bad.unpersist()
         manifest = {**prev, "version": version, "sources": sources or {}}
+        if decon_dropped is not None:
+            manifest["decontamination"] = {"dropped": decon_dropped}
         atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
         return manifest
     df = shard_by_rank(df, "image_id", shard_rows).withColumn(
@@ -401,6 +479,8 @@ def export_training_delta(
     new_shards = _write_release(spark, df, out_root, data_dir)
     if persisted is not None:
         persisted.unpersist()
+    if bad is not None:
+        bad.unpersist()
     _assert_full_shards(new_shards, shard_rows)
     assert min(new_shards) == prev["n_shards"], "shard numbering must continue"
     shards = {int(k): v for k, v in prev["shards"].items()} | new_shards
@@ -416,6 +496,8 @@ def export_training_delta(
         "sources": sources or {},
         "previous_data_dirs": _dirs(prev),
     }
+    if decon_dropped is not None:
+        manifest["decontamination"] = {"dropped": decon_dropped}
     atomic_write_json(os.path.join(out_root, MANIFEST), manifest)
     return manifest
 

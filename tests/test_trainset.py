@@ -414,6 +414,73 @@ def test_redact_captions_series(spark, tmp_path):
     assert len(caps2) == 4
 
 
+def test_decontaminate_series(spark, tmp_path):
+    """Benchmark decontamination as a series policy: the full release
+    drops rows sharing an n-gram with the benchmark, attests the count
+    in its manifest, pins the policy in filters — and a delta must
+    re-supply the benchmark (inheriting n), dropping its own leaks."""
+    out = str(tmp_path / "rel_decon")
+
+    def img_rows(ids_caps):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "image_id": [i for i, _ in ids_caps],
+                    "bytes": [b"\x89PNG" + i.encode() for i, _ in ids_caps],
+                    "fmt": ["png"] * len(ids_caps),
+                    "caption": [c for _, c in ids_caps],
+                }
+            )
+        )
+
+    leak = "what is the capital of the republic of san marino exactly"
+    bench = spark.createDataFrame(
+        pd.DataFrame({"caption": [f"Q: {leak}? A: the city of san marino"]})
+    )
+    base = img_rows(
+        [
+            ("a1", f"trivia card: {leak} printed"),  # leaked benchmark text
+            ("a2", "an unrelated clean caption about a bridge at dusk"),
+            ("a3", "another clean caption with plenty of ordinary words"),
+        ]
+    )
+    man = trainset.export_training_set(
+        spark,
+        base,
+        out,
+        shard_rows=2,
+        decontaminate_df=bench,
+        decontaminate_n=8,
+    )
+    assert man["filters"]["decontaminate"] == {"n": 8}
+    assert man["decontamination"] == {"dropped": 1}
+    shipped = {
+        r["image_id"] for r in trainset.read_training_set(spark, out).collect()
+    }
+    assert shipped == {"a2", "a3"}
+
+    # delta without the benchmark: policy violation, hard error
+    delta = img_rows(
+        [
+            ("b1", f"poster with {leak} in small type"),
+            ("b2", "a clean delta caption showing a harbor in the rain"),
+        ]
+    )
+    try:
+        trainset.export_training_delta(spark, delta, out)
+        raise AssertionError("delta must demand the series benchmark")
+    except ValueError:
+        pass
+    man2 = trainset.export_training_delta(
+        spark, delta, out, decontaminate_df=bench
+    )
+    assert man2["decontamination"] == {"dropped": 1}
+    shipped2 = {
+        r["image_id"] for r in trainset.read_training_set(spark, out).collect()
+    }
+    assert shipped2 == {"a2", "a3", "b2"}
+
+
 def test_mix_by_derived_host_stratum(spark, tmp_path):
     """Mix by a DERIVED stratum (the URL's host via stratum_expr): the
     column is materialized for the quota machinery only — quotas are
