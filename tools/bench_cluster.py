@@ -87,9 +87,15 @@ def main() -> None:
     pairs = []
     runs = []
     for _ in range(reps):
-        n = one(N_MASTER, n_seeds)
+        # wide leg first: this box's sustained-load throttle engages
+        # after tens of seconds of heavy load and releases slowly
+        # (BENCH/NOTES.md round 5) — the 16-core leg is the
+        # throttle-sensitive one, so it gets the cool box; the 4-core
+        # leg barely engages the throttle and is insensitive to
+        # residual heat. Still one back-to-back pair, same weather.
         x = one(X_MASTER, n_seeds)
-        runs += [dict(n, level="N"), dict(x, level="4N")]
+        n = one(N_MASTER, n_seeds)
+        runs += [dict(x, level="4N"), dict(n, level="N")]
         pairs.append(
             {
                 "N_rows_per_sec": n["fetch_rows_per_sec"],
