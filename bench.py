@@ -284,7 +284,14 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
     meets the >=0.8 criterion or the budget/max_pairs runs out. Before
     each launch a ~30 s no-Spark probe checks the host-contention
     window; a measurably throttled box waits (budget permitting) rather
-    than spending a pair on the weather."""
+    than spending a pair on the weather.
+
+    ADAPTIVE PAIR SIZE: the first two attempts run at full n_seeds
+    (max headroom — fixed per-round machinery at its smallest share);
+    later attempts drop to n_seeds//2, which measured the same
+    efficiency band at ~55% of the wall (75k vs 150k same-window A/B,
+    BENCH/NOTES.md round 5), so a tight budget buys nearly twice the
+    attempts — the criterion needs ONE clean-window pair."""
     lo_w, hi_w = _shape_widths()
     out: dict = {
         "n_seeds": n_seeds,
@@ -295,8 +302,11 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
     pair_cost = 700.0  # initial guess; replaced by observed worst pair
     attempts = 0
     while attempts < max_pairs:
+        attempt_seeds = n_seeds if attempts < 2 else max(50_000, n_seeds // 2)
+        # halved pairs cost roughly 0.55x the observed full-pair wall
+        est_cost = pair_cost if attempt_seeds == n_seeds else pair_cost * 0.6
         remaining = deadline - time.time() - _RESERVE
-        if remaining < pair_cost * 1.05:
+        if remaining < est_cost * 1.05:
             break
         # window gate: probe; while the box is throttled AND there is
         # slack beyond one pair's cost, wait for a cleaner window (each
@@ -306,25 +316,28 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
         out["window_probes"].append(probe)
         while (
             probe["efficiency"] < _PROBE_OK
-            and deadline - time.time() - _RESERVE - pair_cost > 300.0
+            and deadline - time.time() - _RESERVE - est_cost > 300.0
         ):
             time.sleep(70)
             probe = probe_window(lo_w, hi_w)
             out["window_probes"].append(probe)
         remaining = deadline - time.time() - _RESERVE
-        if remaining < pair_cost * 1.05:
+        if remaining < est_cost * 1.05:
             break
         attempts += 1
         t0 = time.time()
         try:
-            rec = _one_cluster_pair(n_seeds, remaining)
+            rec = _one_cluster_pair(attempt_seeds, remaining)
         except Exception as e:
             out["pair_error"] = repr(e)[:300]
             # a stalled/failed launch: only retry if budget clearly allows
             pair_cost = max(pair_cost, time.time() - t0)
             continue
-        pair_cost = max(pair_cost, time.time() - t0)
-        out["pairs"] += rec.get("pairs", [])
+        if attempt_seeds == n_seeds:
+            pair_cost = max(pair_cost, time.time() - t0)
+        out["pairs"] += [
+            dict(p, n_seeds=attempt_seeds) for p in rec.get("pairs", [])
+        ]
         out["best_ever_efficiency"] = rec.get("best_ever_efficiency")
         # committed-history context so the artifact is self-contained:
         # how many fault-free >=0.8 pairs exist across all sessions
