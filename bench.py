@@ -207,21 +207,33 @@ def hw_envelope(lo_procs: int, hi_procs: int, n: int = 16000) -> dict:
 
 # -------------------------------------------------------- window probing
 def probe_window(lo_procs: int = 4, hi_procs: int = 16) -> dict:
-    """~30 s weather check before spending ~14 min on a cluster pair:
-    the per-row fetch workload through multiprocessing at the pair's two
-    core widths, long enough per level (~10 s wide) to engage the box's
-    sustained-load throttle rather than the burst ceiling. Returns
-    {"efficiency", "hi_rows_per_sec", "lo_rows_per_sec"} — efficiency is
-    the ceiling ANY N→4N pair can reach in this window."""
+    """Weather check before spending ~10 min of budget on a cluster
+    pair: the per-row fetch workload through multiprocessing at the
+    pair's two core widths. Two stages (round 5): a ~10 s BURST hi leg
+    fails fast on an obviously throttled box; if the burst passes the
+    gate, a ~30 s SUSTAINED hi leg confirms — this box's throttle
+    engages only after tens of seconds of sustained wide load, and
+    burst-only probes reading 0.88-1.0 preceded 0.45-0.62 pairs
+    (BENCH/NOTES.md round 5 cont.). Returns {"efficiency",
+    "hi_rows_per_sec", "lo_rows_per_sec"[, "hi_sustained_rows_per_sec"]}
+    — efficiency is the ceiling ANY N→4N pair can reach in this
+    window, measured at the duration scale a real pair leg runs at."""
     lo_thr = _mp_throughput(lo_procs, 2500)
     hi_thr = _mp_throughput(hi_procs, int(max(6000, lo_thr * hi_procs / lo_procs * 8)))
-    return {
+    out = {
         "efficiency": round(
             min(1.0, (hi_thr / lo_thr) / (hi_procs / lo_procs)), 3
         ),
         "lo_rows_per_sec": lo_thr,
         "hi_rows_per_sec": hi_thr,
     }
+    if out["efficiency"] >= _PROBE_OK:
+        hi_sus = _mp_throughput(hi_procs, int(hi_thr * 30))
+        out["hi_sustained_rows_per_sec"] = hi_sus
+        out["efficiency"] = round(
+            min(1.0, (hi_sus / lo_thr) / (hi_procs / lo_procs)), 3
+        )
+    return out
 
 
 # -------------------------------------------------------- cluster pairs
@@ -564,14 +576,19 @@ def main() -> None:
         "queries": {},
     }
     timings: dict[str, float] = {}
-    try:
-        timings = time_queries(sf_dir, cpus)
-        result["queries"] = dict(timings)
-    except Exception as e:  # still emit the JSON line
-        result["query_phase_error"] = repr(e)[:500]
-    result["value"] = round(sum(timings.values()), 3)
     cluster = None
     hw = None
+    # SCALING PHASE FIRST (round 5): the bench usually starts on the
+    # quietest box it will ever see (the driver invokes it right after
+    # a round boundary / reboot), and this box's sustained-load throttle
+    # has minutes-scale hysteresis — running the ~5-7 min local[32]
+    # query phase first pre-heats the box exactly when the
+    # throttle-sensitive 4N leg of pair 1 needs it cold. The query
+    # phase is weather-tolerant (each query is warmed then timed, and
+    # QUERY_HISTORY keeps best-ever), the criterion pair is not — so
+    # the pairs get the cold window and a reserved slice of the budget
+    # pays for the queries afterwards.
+    _QUERY_RESERVE = 420.0
     if os.environ.get("CRAWLSPARK_SKIP_SCALING") != "1":
         # 150k seeds: the fetch-compute fraction dominates the fixed
         # per-round machinery, so the N→4N ratio measures the engine,
@@ -579,7 +596,14 @@ def main() -> None:
         # windows; 300k pushes tmpfs pressure — BENCH/NOTES.md)
         n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
         max_pairs = int(os.environ.get("CRAWLSPARK_BENCH_MAX_PAIRS", "6"))
-        cluster = run_cluster_pairs(n_seeds, deadline, max_pairs)
+        cluster = run_cluster_pairs(n_seeds, deadline - _QUERY_RESERVE, max_pairs)
+    try:
+        timings = time_queries(sf_dir, cpus)
+        result["queries"] = dict(timings)
+    except Exception as e:  # still emit the JSON line
+        result["query_phase_error"] = repr(e)[:500]
+    result["value"] = round(sum(timings.values()), 3)
+    if os.environ.get("CRAWLSPARK_SKIP_SCALING") != "1":
         if cluster:
             result["crawl_cluster"] = cluster
         # hardware-envelope probe at the pair widths: fresh only if the

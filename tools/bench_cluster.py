@@ -39,13 +39,20 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _shape() -> tuple[str, str]:
     spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x4:4x4")
+    # Per-executor heap. Identical at BOTH levels (a real N vs 4N
+    # cluster scales executor COUNT, never per-executor size). 4096 MB
+    # (1 GB/core — still small vs real-cluster 4-8 GB/core): measured
+    # +13% on the 4N fetch stage vs 2048 (GC threads compete with task
+    # threads for the 16 busy cores) but only +4% at N (GC hides in the
+    # box's idle threads) — see BENCH/NOTES.md round 5 cont. 2.
+    mb = int(os.environ.get("CRAWLSPARK_EXECUTOR_MB", "4096"))
     lo, hi = spec.split(":")
     n_e, n_c = (int(v) for v in lo.split("x"))
     x_e, x_c = (int(v) for v in hi.split("x"))
     assert x_e * x_c == 4 * n_e * n_c, "shape must keep the 4x core ratio"
     return (
-        f"local-cluster[{n_e},{n_c},2048]",
-        f"local-cluster[{x_e},{x_c},2048]",
+        f"local-cluster[{n_e},{n_c},{mb}]",
+        f"local-cluster[{x_e},{x_c},{mb}]",
     )
 
 
