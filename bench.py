@@ -237,14 +237,22 @@ def probe_window(lo_procs: int = 4, hi_procs: int = 16) -> dict:
 
 
 # -------------------------------------------------------- cluster pairs
-# Default executor shape: 1 vs 4 executor JVMs x 4 cores (4 vs 16 cores
-# total). The full-width 2x4:8x4 shape saturates all 32 hardware
-# threads at the 4N level, so its pairs measure the box's
-# aggregate-load throttle as much as the engine; half-width keeps the
-# north rule's 4x executor ratio while each executor owns its cores —
-# the honest single-box stand-in for a real N vs 4N cluster (same-day
-# A/B and 74+ recorded pairs in BENCH/HISTORY_CLUSTER.jsonl).
-_CLUSTER_SHAPE_DEFAULT = "1x4:4x4"
+# Default executor shape: 1 vs 4 executor JVMs x 3 cores (3 vs 12 task
+# cores). Executor count still scales exactly 4x — the north rule's N
+# vs 4N criterion. Why 3 cores per executor on THIS box (round 5
+# cont. 2, BENCH/NOTES.md): the box is ~16 physical cores with 2-way
+# SMT. At 4x4 the 4N level runs 16 codec workers PLUS the executor
+# JVMs' service/GC threads (~2-4 cores' worth) — >16 runnable threads,
+# so workers get SMT-paired and drop to ~76% of their N-level per-core
+# speed; the ratio then measures SMT pairing, not the engine. At 4x3
+# the 12 workers + JVM threads fit under the physical-core count at
+# BOTH levels: measured per-core throughput N 253 vs 4N 247 rows/s
+# (0.976 parity) vs 298 -> 236 at 4x4. A real N vs 4N cluster gives
+# every executor its own physical cores at both sizes — 1x3:4x3 is the
+# single-box stand-in that preserves that property. (Older shapes:
+# 2x4:8x4 full-width saturates all 32 hw threads at 4N — worst; rows
+# remain in HISTORY_CLUSTER.jsonl as absolute-throughput records.)
+_CLUSTER_SHAPE_DEFAULT = "1x3:4x3"
 _CRITERION = 0.8
 _RESERVE = 150.0  # hw probe + BASELINE.md writeup + JSON emit
 # window probe floor: below this the box is throttled. Raised 0.75 ->

@@ -1081,7 +1081,15 @@ class CrawlEngine:
         # window leaves rows partitioned by host, so the hot (Zipf-head)
         # host's entire batch would execute as ONE fetch task. Rebalance
         # round-robin so fetch work spreads across all executor slots.
-        n_slots = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+        # 2 task waves per slot (retry/skew granularity), rounded UP to
+        # a whole number of waves: a partition count that is not a
+        # multiple of the slot count leaves the last wave running on a
+        # fraction of the cluster — measured ~15% of the whole fetch
+        # stage at 3 slots with the old max(2*par, 8)=8 (waves 3/3/2).
+        # Wave-aligned counts cost nothing at any width and the output
+        # is partitioning-invariant (tests/test_parallelism.py).
+        par = max(self.spark.sparkContext.defaultParallelism, 1)
+        n_slots = par * max(2, -(-8 // par))
         fetch_in = ok.select("url")
         if self.cfg.change_period:
             # content drift (SynthConfig.change_period): a deterministic

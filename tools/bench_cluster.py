@@ -14,15 +14,18 @@ Appends pairs to BENCH/HISTORY_CLUSTER.jsonl, writes BENCH/CLUSTER.md,
 prints one JSON line.
 
 CRAWLSPARK_CLUSTER_SHAPE overrides the executor shape as
-"<n_execs>x<cores>:<4n_execs>x<cores>". The default 1x4:4x4 (1 vs 4
-executor JVMs x 4 cores = 4 vs 16 cores total) matches bench.py: the
-half-width shape leaves headroom under this box's full-width
-aggregate-load throttle, the honest stand-in for a real cluster where
-each executor owns its cores (no oversubscription). The full-width
-2x4:8x4 saturates all 32 hardware threads at the 4N level and
-measures the box throttle as much as the engine (0.38-class pairs,
-BENCH/NOTES.md). Executor-JVM count still scales 4x either way — the
-north rule's N vs 4N criterion.
+"<n_execs>x<cores>:<4n_execs>x<cores>". The default 1x3:4x3 (1 vs 4
+executor JVMs x 3 cores = 3 vs 12 task cores) matches bench.py:
+executor count scales exactly 4x (the north rule's criterion) while
+the 4N level's 12 codec workers + executor-JVM service threads stay
+under this ~16-physical-core SMT-2 box's physical core count, so
+workers are never SMT-paired at either level — the single-box
+stand-in for a real cluster where every executor owns physical cores
+at both sizes (measured per-core parity N 253 vs 4N 247 rows/s; at
+4x4 the 16-worker level SMT-pairs and drops to 236 vs 298 — see
+BENCH/NOTES.md round 5 cont. 2). Wider shapes (1x4:4x4 half-width,
+2x4:8x4 full-width) remain in HISTORY_CLUSTER.jsonl as
+absolute-throughput records.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _shape() -> tuple[str, str]:
-    spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x4:4x4")
+    spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x3:4x3")
     # Per-executor heap. Identical at BOTH levels (a real N vs 4N
     # cluster scales executor COUNT, never per-executor size). 4096 MB
     # (1 GB/core — still small vs real-cluster 4-8 GB/core): measured
@@ -116,7 +119,7 @@ def main() -> None:
                 # (those were all drain-mode)
                 "fault_free": bool(n.get("fault_free", False)),
                 # executor shape (absent in pre-shape rows = 2x4:8x4)
-                "shape": os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x4:4x4"),
+                "shape": os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x3:4x3"),
             }
         )
     hist = os.path.join(_REPO, "BENCH", "HISTORY_CLUSTER.jsonl")
