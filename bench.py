@@ -262,7 +262,25 @@ _RESERVE = 150.0  # hw probe + BASELINE.md writeup + JSON emit
 # BENCH/NOTES.md), so mediocre probes predict sub-criterion pairs and
 # a pair costs 20x more budget than waiting out the heat.
 _PROBE_OK = 0.85
+# Absolute floor for the probe's SUSTAINED wide-leg per-proc
+# throughput (imgs/s/proc at IMG_SCALE=2). The ratio gate alone is
+# blind to uniform clamp phases: bench run 3 (round 5 cont.) recorded
+# probe ratios 0.968/1.0 while sustained per-proc read 246-272 (vs the
+# healthy 310-356 measured across every quiet window and the 4-24 proc
+# ladder) and both pairs landed 0.54-0.58 — the clamp slows mp
+# uniformly but hits Spark's JVM+worker legs disproportionately.
+# Criterion-class pairs have only ever landed in windows where this
+# number reads >=~300; 0.8x that band's floor is the gate.
+_PROBE_PERPROC_OK = float(os.environ.get("CRAWLSPARK_PROBE_PERPROC", "270"))
 _COOLDOWN = 75.0  # idle seconds after a missed pair: shed throttle heat
+
+
+def _window_ok(probe: dict, hi_procs: int) -> bool:
+    thr = probe.get("hi_sustained_rows_per_sec") or probe["hi_rows_per_sec"]
+    return (
+        probe["efficiency"] >= _PROBE_OK
+        and thr / hi_procs >= _PROBE_PERPROC_OK
+    )
 
 
 def _shape_widths() -> tuple[int, int]:
@@ -335,7 +353,7 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
         probe = probe_window(lo_w, hi_w)
         out["window_probes"].append(probe)
         while (
-            probe["efficiency"] < _PROBE_OK
+            not _window_ok(probe, hi_w)
             and deadline - time.time() - _RESERVE - est_cost > 300.0
         ):
             time.sleep(70)
