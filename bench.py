@@ -32,7 +32,7 @@ is ALWAYS printed with whatever completed.
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 CRAWLSPARK_BENCH_SEEDS (default 150000), CRAWLSPARK_BENCH_DEADLINE_SEC
 (default 2400), CRAWLSPARK_BENCH_MAX_PAIRS (default 6),
-CRAWLSPARK_SKIP_SCALING=1, CRAWLSPARK_CLUSTER_SHAPE (default 1x4:4x4).
+CRAWLSPARK_SKIP_SCALING=1, CRAWLSPARK_CLUSTER_SHAPE (default 1x3:4x3).
 """
 
 from __future__ import annotations
@@ -500,8 +500,8 @@ def write_baseline_md(
         "executor JVMs — the north rule's literal deployment shape. Same",
         "seed list, fixed shuffle partitioning (16), IMG_SCALE=2;",
         "efficiency is computed WITHIN each back-to-back pair (same host",
-        "weather). Default shape `1x4:4x4` = 1 vs 4 executors x 4 cores",
-        "(4 vs 16 cores): executor-JVM count scales 4x while each",
+        "weather). Default shape `1x3:4x3` = 1 vs 4 executors x 3 cores",
+        "(3 vs 12 cores): executor-JVM count scales 4x while each",
         "executor owns its cores — the honest single-box stand-in for a",
         "real cluster (the full-width `2x4:8x4` rows measure the box's",
         "32-thread aggregate-load throttle as much as the engine).",
