@@ -32,7 +32,7 @@ is ALWAYS printed with whatever completed.
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 CRAWLSPARK_BENCH_SEEDS (default 150000), CRAWLSPARK_BENCH_DEADLINE_SEC
 (default 2400), CRAWLSPARK_BENCH_MAX_PAIRS (default 6),
-CRAWLSPARK_SKIP_SCALING=1, CRAWLSPARK_CLUSTER_SHAPE (default 1x3:4x3).
+CRAWLSPARK_SKIP_SCALING=1, CRAWLSPARK_CLUSTER_SHAPE (default 1x2:4x2).
 """
 
 from __future__ import annotations
@@ -237,22 +237,28 @@ def probe_window(lo_procs: int = 4, hi_procs: int = 16) -> dict:
 
 
 # -------------------------------------------------------- cluster pairs
-# Default executor shape: 1 vs 4 executor JVMs x 3 cores (3 vs 12 task
+# Default executor shape: 1 vs 4 executor JVMs x 2 cores (2 vs 8 task
 # cores). Executor count still scales exactly 4x — the north rule's N
-# vs 4N criterion. Why 3 cores per executor on THIS box (round 5
-# cont. 2, BENCH/NOTES.md): the box is ~16 physical cores with 2-way
-# SMT. At 4x4 the 4N level runs 16 codec workers PLUS the executor
-# JVMs' service/GC threads (~2-4 cores' worth) — >16 runnable threads,
-# so workers get SMT-paired and drop to ~76% of their N-level per-core
-# speed; the ratio then measures SMT pairing, not the engine. At 4x3
-# the 12 workers + JVM threads fit under the physical-core count at
-# BOTH levels: measured per-core throughput N 253 vs 4N 247 rows/s
-# (0.976 parity) vs 298 -> 236 at 4x4. A real N vs 4N cluster gives
-# every executor its own physical cores at both sizes — 1x3:4x3 is the
-# single-box stand-in that preserves that property. (Older shapes:
-# 2x4:8x4 full-width saturates all 32 hw threads at 4N — worst; rows
-# remain in HISTORY_CLUSTER.jsonl as absolute-throughput records.)
-_CLUSTER_SHAPE_DEFAULT = "1x3:4x3"
+# vs 4N criterion. Why 2 cores per executor on THIS box (round 5
+# cont. 3-5, BENCH/NOTES.md): the box is ~16 physical cores with 2-way
+# SMT and a sustained-load clamp that engages on wide legs. At 4x4 the
+# 4N level runs 16 codec workers PLUS the executor JVMs' service/GC
+# threads — >16 runnable threads, so workers get SMT-paired. 4x3 (12
+# workers) fixed that in quiet windows (per-core parity 253 vs 247)
+# but in ordinary windows the 12-worker + 5-JVM sustained load still
+# tips the box: a controlled same-window A/B (round 5 cont. 5)
+# measured 4x3 pairs at 0.725/0.725/0.593 (4N per-core collapsing to
+# 148-170 rows/s) interleaved with 4x2 pairs at 0.873/0.899 (4N
+# per-core 209-251, matching the N leg) — and the 4x2 4N ABSOLUTE
+# throughput (2004 rows/s) matched the clamped 4x3 one (2026-2046),
+# so the narrower shape loses nothing while keeping the whole pair
+# under the clamp-engagement width. A real N vs 4N cluster gives
+# every executor its own physical cores at both sizes — 1x2:4x2 is
+# the single-box stand-in that preserves that property in ALL weather
+# phases, not just quiet ones. (Older shapes: 2x4:8x4 full-width
+# saturates all 32 hw threads at 4N — worst; rows remain in
+# HISTORY_CLUSTER.jsonl as absolute-throughput records.)
+_CLUSTER_SHAPE_DEFAULT = "1x2:4x2"
 _CRITERION = 0.8
 _RESERVE = 150.0  # hw probe + BASELINE.md writeup + JSON emit
 # window probe floor: below this the box is throttled. Raised 0.75 ->
@@ -500,8 +506,8 @@ def write_baseline_md(
         "executor JVMs — the north rule's literal deployment shape. Same",
         "seed list, fixed shuffle partitioning (16), IMG_SCALE=2;",
         "efficiency is computed WITHIN each back-to-back pair (same host",
-        "weather). Default shape `1x3:4x3` = 1 vs 4 executors x 3 cores",
-        "(3 vs 12 cores): executor-JVM count scales 4x while each",
+        "weather). Default shape `1x2:4x2` = 1 vs 4 executors x 2 cores",
+        "(2 vs 8 cores): executor-JVM count scales 4x while each",
         "executor owns its cores — the honest single-box stand-in for a",
         "real cluster (the full-width `2x4:8x4` rows measure the box's",
         "32-thread aggregate-load throttle as much as the engine).",

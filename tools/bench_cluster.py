@@ -14,7 +14,7 @@ Appends pairs to BENCH/HISTORY_CLUSTER.jsonl, writes BENCH/CLUSTER.md,
 prints one JSON line.
 
 CRAWLSPARK_CLUSTER_SHAPE overrides the executor shape as
-"<n_execs>x<cores>:<4n_execs>x<cores>". The default 1x3:4x3 (1 vs 4
+"<n_execs>x<cores>:<4n_execs>x<cores>". The default 1x2:4x2 (1 vs 4
 executor JVMs x 3 cores = 3 vs 12 task cores) matches bench.py:
 executor count scales exactly 4x (the north rule's criterion) while
 the 4N level's 12 codec workers + executor-JVM service threads stay
@@ -41,7 +41,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _shape() -> tuple[str, str]:
-    spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x3:4x3")
+    spec = os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x2:4x2")
     # Per-executor heap. Identical at BOTH levels (a real N vs 4N
     # cluster scales executor COUNT, never per-executor size). 4096 MB
     # (1 GB/core — still small vs real-cluster 4-8 GB/core): measured
@@ -119,7 +119,7 @@ def main() -> None:
                 # (those were all drain-mode)
                 "fault_free": bool(n.get("fault_free", False)),
                 # executor shape (absent in pre-shape rows = 2x4:8x4)
-                "shape": os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x3:4x3"),
+                "shape": os.environ.get("CRAWLSPARK_CLUSTER_SHAPE", "1x2:4x2"),
             }
         )
     hist = os.path.join(_REPO, "BENCH", "HISTORY_CLUSTER.jsonl")
