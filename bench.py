@@ -346,12 +346,15 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
     window; a measurably throttled box waits (budget permitting) rather
     than spending a pair on the weather.
 
-    ADAPTIVE PAIR SIZE: the first two attempts run at full n_seeds
-    (max headroom — fixed per-round machinery at its smallest share);
-    later attempts drop to n_seeds//2, which measured the same
-    efficiency band at ~55% of the wall (75k vs 150k same-window A/B,
-    BENCH/NOTES.md round 5), so a tight budget buys nearly twice the
-    attempts — the criterion needs ONE clean-window pair."""
+    ADAPTIVE PAIR SIZE: the first attempt runs at full n_seeds (max
+    headroom — fixed per-round machinery at its smallest share); every
+    retry drops to n_seeds//2, which measured the same efficiency band
+    at ~55% of the wall (75k vs 150k same-window A/B, BENCH/NOTES.md
+    round 5), so a tight budget buys nearly twice the attempts — the
+    criterion needs ONE clean-window pair. (Was first-TWO-full until a
+    clamped full pair ran ~950 s and its observed cost priced the
+    second full attempt out of the budget entirely — a half pair
+    would have fit with ~150 s to spare.)"""
     lo_w, hi_w = _shape_widths()
     out: dict = {
         "n_seeds": n_seeds,
@@ -362,7 +365,7 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
     pair_cost = 700.0  # initial guess; replaced by observed worst pair
     attempts = 0
     while attempts < max_pairs:
-        attempt_seeds = n_seeds if attempts < 2 else max(50_000, n_seeds // 2)
+        attempt_seeds = n_seeds if attempts < 1 else max(50_000, n_seeds // 2)
         # halved pairs cost roughly 0.55x the observed full-pair wall
         est_cost = pair_cost if attempt_seeds == n_seeds else pair_cost * 0.6
         remaining = deadline - time.time() - _RESERVE
