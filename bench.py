@@ -30,7 +30,7 @@ with no JSON line): the whole bench runs against a wall-clock budget
 is ALWAYS printed with whatever completed.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-CRAWLSPARK_BENCH_SEEDS (default 150000), CRAWLSPARK_BENCH_DEADLINE_SEC
+CRAWLSPARK_BENCH_SEEDS (default 120000), CRAWLSPARK_BENCH_DEADLINE_SEC
 (default 2400), CRAWLSPARK_BENCH_MAX_PAIRS (default 6),
 CRAWLSPARK_SKIP_SCALING=1, CRAWLSPARK_CLUSTER_SHAPE (default 1x2:4x2).
 """
@@ -365,7 +365,10 @@ def run_cluster_pairs(n_seeds: int, deadline: float, max_pairs: int) -> dict | N
     pair_cost = 700.0  # initial guess; replaced by observed worst pair
     attempts = 0
     while attempts < max_pairs:
-        attempt_seeds = n_seeds if attempts < 1 else max(50_000, n_seeds // 2)
+        # retries run at 75k — the smallest size measured in the 150k
+        # pairs' efficiency band (0.822/0.77 same-session); 50k is
+        # machinery-dominated and caps low
+        attempt_seeds = n_seeds if attempts < 1 else max(75_000, n_seeds // 2)
         # halved pairs cost roughly 0.55x the observed full-pair wall
         est_cost = pair_cost if attempt_seeds == n_seeds else pair_cost * 0.6
         remaining = deadline - time.time() - _RESERVE
@@ -639,13 +642,20 @@ def main() -> None:
     # QUERY_HISTORY keeps best-ever), the criterion pair is not — so
     # the pairs get the cold window and a reserved slice of the budget
     # pays for the queries afterwards.
-    _QUERY_RESERVE = 420.0
+    # 300 s: the query phase measures ~150-250 s with the clamp-burst
+    # retry (runs 5 cont. sessions), and the hw envelope falls back to
+    # its cached value when the tail is tight — the old 420 s reserve
+    # was pricing a third pair attempt out of clamp-weather runs.
+    _QUERY_RESERVE = 300.0
     if os.environ.get("CRAWLSPARK_SKIP_SCALING") != "1":
-        # 150k seeds: the fetch-compute fraction dominates the fixed
-        # per-round machinery, so the N→4N ratio measures the engine,
-        # not scheduler latency (50k pairs cap out ~0.4 even in clean
-        # windows; 300k pushes tmpfs pressure — BENCH/NOTES.md)
-        n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "150000"))
+        # 120k seeds: big enough that fetch compute dominates the fixed
+        # per-round machinery (Amdahl delta vs 150k is <2% of the N
+        # wall), small enough that a CLAMP-weather full pair (~750 s
+        # wall vs ~940 s at 150k — the 2-core N leg is the long pole)
+        # leaves budget for TWO half-size retries inside the driver's
+        # 2400 s deadline. 50k pairs cap out low (machinery-dominated)
+        # and 300k pushes tmpfs pressure — BENCH/NOTES.md.
+        n_seeds = int(os.environ.get("CRAWLSPARK_BENCH_SEEDS", "120000"))
         max_pairs = int(os.environ.get("CRAWLSPARK_BENCH_MAX_PAIRS", "6"))
         cluster = run_cluster_pairs(n_seeds, deadline - _QUERY_RESERVE, max_pairs)
     try:
