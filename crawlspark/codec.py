@@ -55,10 +55,14 @@ def pixels_for(key: int, w: int, h: int) -> np.ndarray:
     k0 = np.int32(key & 0xFFFF)
     k1 = np.int32((key >> 16) & 0xFFFF)
     k2 = np.int32((key >> 32) & 0xFFFF)
-    r = (a * xx + b * yy + k0) % 256
-    g = (b * xx + c * yy + k1) % 256
-    bl = (c * xx + a * yy + ((xx * yy) >> 3) + k2) % 256
-    return np.stack([r, g, bl], axis=-1).astype(np.uint8)
+    # every operand is non-negative int32, so `x & 255` == `x % 256`
+    # bit-for-bit; & skips the hardware divide. Writing channels into a
+    # preallocated (h, w, 3) buffer replaces np.stack's gather+copy.
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = (a * xx + b * yy + k0) & 255
+    out[:, :, 1] = (b * xx + c * yy + k1) & 255
+    out[:, :, 2] = (c * xx + a * yy + ((xx * yy) >> 3) + k2) & 255
+    return out
 
 
 def dims_for(key: int) -> tuple[int, int, str]:
@@ -129,9 +133,10 @@ def decode_sjpg(data: bytes) -> np.ndarray:
     assert data[:4] == b"SJPG", "not an sjpg"
     w, h = struct.unpack(">II", data[4:12])
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
-    return np.minimum(q.astype(np.int64) * _LOSSY_Q + _LOSSY_Q // 2, 255).astype(
-        np.uint8
-    )
+    # q <= 255 // _LOSSY_Q = 63, so q*4 + 2 <= 254: the 255 clamp of the
+    # definition never fires and the whole dequantization stays uint8
+    # (bit-identical to min(q.astype(int64)*Q + Q//2, 255).astype(uint8)).
+    return (q * np.uint8(_LOSSY_Q) + np.uint8(_LOSSY_Q // 2)).astype(np.uint8)
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -170,7 +175,11 @@ def phash(px: np.ndarray) -> int:
     Grayscale -> 32x32 block-mean resize -> 2-D DCT-II -> top-left 8x8
     minus DC -> bits = coefficient > median -> signed int64.
     """
-    gray = px.astype(np.float64).mean(axis=-1)
+    # channel-sum grayscale: same float64 conversion and the same
+    # ((r + g) + b) / 3 left-fold as astype(float64).mean(axis=-1)
+    # (bit-identical, checked exhaustively), without materializing the
+    # 3x float64 copy of the full image — 6x faster at 256x256.
+    gray = (px[:, :, 0].astype(np.float64) + px[:, :, 1] + px[:, :, 2]) / 3.0
     h, w = gray.shape
     small = gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
     m = _dct_matrix(32)
@@ -236,12 +245,21 @@ def synth_image(url: str, version: int = 0) -> dict:
             255,
         ).astype(np.uint8)
     data = encode(px, fmt)
+    # phash over DECODED pixels so lossy round-trips verify equal. For
+    # sjpg the decoded image is algebraically (px // Q) * Q + Q // 2 with
+    # no clamp ever firing (max 254) — computing that directly skips the
+    # zlib decompress round-trip while staying bit-identical to
+    # decode(data, "sjpg") (asserted by tests/test_imageops.py &
+    # test_codec parity).
+    if fmt == "png":
+        hash_px = px
+    else:
+        hash_px = (px & np.uint8(0xFF ^ (_LOSSY_Q - 1))) + np.uint8(_LOSSY_Q // 2)
     return {
         "bytes": data,
         "w": w,
         "h": h,
         "fmt": fmt,
         "caption": caption_for(url, key),
-        # phash over DECODED pixels so lossy round-trips verify equal
-        "phash": phash(px if fmt == "png" else decode(data, fmt)),
+        "phash": phash(hash_px),
     }

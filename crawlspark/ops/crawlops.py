@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..canon import canonicalize, canonicalize_duckdb_sql
-from . import load
+from . import load, load_spread
 
 # messy URL: uppercase scheme/host, default port, unsorted query, fragment
 _URL_SPARK = (
@@ -28,8 +28,13 @@ _CANON_DUCK = canonicalize_duckdb_sql("raw_url")
 
 
 def _urls(spark, sf):
+    # load_spread, not load: the documents file arrives as a single
+    # parquet row group, so a plain scan runs the canonicalizer (the
+    # expensive regex/array_sort expression chain shared by every URL
+    # gate) on ONE core; the round-robin spread puts it on all slots
+    # and is a no-op at production scale (guide §2.5 input skew).
     return (
-        load(spark, sf, "documents")
+        load_spread(spark, sf, "documents")
         .select("doc_id", "source", F.expr(_URL_SPARK).alias("raw_url"))
         .withColumn("url", canonicalize("raw_url"))
         .withColumn("host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))

@@ -59,10 +59,25 @@ _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 
 
 def _minhash_sig(spark, sf):
-    docs = load_spread(spark, sf, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle")
-    ).distinct()
+    # keyed spread: the only shuffle in the signature pass is one
+    # exchange of compact document rows; the doc_id aggregation below
+    # then runs exchange-free (guide §2.4). The former
+    # ``.distinct()`` on (doc_id, shingle) is dropped outright:
+    # ``min`` is duplicate-insensitive, so the per-doc minima are
+    # identical with or without it — and it planned as TWO
+    # SortAggregates around a full exchange of raw shingle strings
+    # (the dominant cost of this query at sf1.0, see
+    # OPTIMIZATION_r06.md).
+    docs = load_spread(spark, sf, "documents", key="doc_id")
+    sh = docs.select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("shingle"))
+    # (A distinct-shingle dictionary join was tried here in round 6 —
+    # hash each distinct shingle once, attach by join — but the static
+    # planner broadcasts whichever side the 5.7MB file-size estimate
+    # says is smaller, i.e. the multi-million-row occurrence stream,
+    # and the honest fix, forcing a broadcast of a corpus-derived
+    # dictionary, does not hold at 100 TB. Hashing per occurrence into
+    # a doc_id-clustered single-exchange aggregation is the shape that
+    # scales; measured 2.6s vs 8.2s for the join form at sf1.0.)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(_N_HASHES)
@@ -136,7 +151,12 @@ FROM bands GROUP BY band, bucket HAVING count(*) >= 1
 def _simhash_sig(spark, sf):
     """64-bit signature DF (doc_id, simhash_lo, simhash_hi) — shared by
     the simhash gate and the Hamming near-dup/top-k operators."""
-    docs = load_spread(spark, sf, "documents")
+    # keyed spread (guide §2.4): HashPartitioning(doc_id) satisfies the
+    # clustered distribution of BOTH the (doc_id, t) distinct and the
+    # doc_id aggregation below, so the whole signature chain runs on a
+    # single exchange of compact document rows — the former plan
+    # shuffled exploded token rows twice (distinct + agg).
+    docs = load_spread(spark, sf, "documents", key="doc_id")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t")).distinct()
     # parse the top 8 hex chars of each md5 into a 32-bit int once;
     # every bit weight is then a shift+mask on that int
@@ -228,29 +248,65 @@ def hamming_near_dup(
     10^10 with the (band,bucket)-keyed shuffle; at 2-bit bands
     (tau>15) banding degenerates toward a cross join. Perceptual-hash
     near-dup thresholds in practice are tau<=10 (<=16 bands)."""
+    # FIRST-BAND emission (round 6): a near-dup pair agrees on one or
+    # more bands and the former plan emitted it once per agreeing band,
+    # relying on a full .distinct() exchange of the output to dedupe
+    # (36M pre-distinct rows for 9M pairs at sf1.0 — a duplicate-heavy
+    # corpus agrees on ALL bands for its exact-dup clusters). Instead,
+    # emit each pair only from its MINIMAL agreeing band: the join
+    # additionally requires bucket_{b'}(a) != bucket_{b'}(b) for every
+    # band b' below the joined band. Exactly one minimal band exists
+    # per qualifying pair, so the output is duplicate-free by
+    # construction and the distinct (an exchange of the whole result)
+    # is dropped. Identical pair set, identical hamming values.
     bb = _ham_band_explode(sig, id_col, lo_col, hi_col, tau, n_bands)
     a, b = bb.alias("a"), bb.alias("b")
     ham = F.expr(
         f"bit_count(a.{lo_col} ^ b.{lo_col}) + bit_count(a.{hi_col} ^ b.{hi_col})"
     )
+    first_band = _ham_first_band_cond(lo_col, hi_col, tau, n_bands)
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(first_band)
         .select(
             F.col(f"a.{id_col}").alias("left_id"),
             F.col(f"b.{id_col}").alias("right_id"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= tau)
-        .distinct()  # a pair may collide in several bands
     )
+
+
+def _ham_bands_for(tau: int, n_bands: int | None) -> int:
+    if n_bands is None:
+        n_bands = next(nb for nb in (4, 8, 16, 32) if nb - 1 >= tau or nb == 32)
+    return n_bands
+
+
+def _ham_first_band_cond(lo_col: str, hi_col: str, tau: int, n_bands: int | None):
+    """Predicate: the joined band is the MINIMAL band on which the two
+    signatures agree — for every band b' strictly below the join row's
+    band, the b' buckets differ. Pure int shift/mask comparisons on
+    columns both join sides already carry."""
+    n_bands = _ham_bands_for(tau, n_bands)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    conds = []
+    for bp, off in enumerate(range(0, 64, width)):
+        src = lo_col if off < 32 else hi_col
+        sh = off % 32
+        conds.append(
+            f"(band <= {bp} OR ((a.{src} >> {sh}) & {mask}) != "
+            f"((b.{src} >> {sh}) & {mask}))"
+        )
+    return F.expr(" AND ".join(conds))
 
 
 def _ham_band_explode(sig, id_col, lo_col, hi_col, tau, n_bands):
     """(id, lo, hi) → one row per (band, bucket) slice, pigeonhole-exact
     band layout shared by the self-join and delta variants."""
-    if n_bands is None:
-        n_bands = next(nb for nb in (4, 8, 16, 32) if nb - 1 >= tau or nb == 32)
+    n_bands = _ham_bands_for(tau, n_bands)
     assert n_bands in (4, 8, 16, 32), "band width must divide 32"
     assert tau <= n_bands - 1, f"banding not exact: tau={tau} needs >= {tau + 1} bands"
     width = 64 // n_bands

@@ -70,22 +70,30 @@ def images_from_documents(spark, sf):
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = []
-            for doc_id, url in zip(pdf["doc_id"], pdf["url"]):
+            # column-wise batch assembly (same shape as fetch.py):
+            # building one dict per row and letting pandas infer the
+            # frame from 1.5k dicts costs more than the codec's own
+            # bookkeeping — lists-per-column is the cheap path.
+            urls = pdf["url"].tolist()
+            cols: dict = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "image_id": [str(uuid.uuid5(uuid.NAMESPACE_URL, u)) for u in urls],
+                "w": [],
+                "h": [],
+                "fmt": [],
+                "n_bytes": [],
+                "phash": [],
+                "caption": [],
+            }
+            for url in urls:
                 img = synth_image(url)
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "image_id": str(uuid.uuid5(uuid.NAMESPACE_URL, url)),
-                        "w": img["w"],
-                        "h": img["h"],
-                        "fmt": img["fmt"],
-                        "n_bytes": len(img["bytes"]),
-                        "phash": img["phash"],
-                        "caption": img["caption"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
+                cols["w"].append(img["w"])
+                cols["h"].append(img["h"])
+                cols["fmt"].append(img["fmt"])
+                cols["n_bytes"].append(len(img["bytes"]))
+                cols["phash"].append(img["phash"])
+                cols["caption"].append(img["caption"])
+            yield pd.DataFrame(cols, columns=[f.name for f in META_SCHEMA.fields])
 
     return _doc_urls(spark, sf).mapInPandas(run, META_SCHEMA)
 

@@ -55,9 +55,17 @@ def q3_top_orders(spark, sf):
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
+    # Apply the selective dimension first (guide §3.1: pre-filter the
+    # side you broadcast): the planner already chose to broadcast the
+    # FULL orders projection against lineitem; joining customer into
+    # orders first shrinks that broadcast ~5x (only BUILDING-segment
+    # orders survive) and drops a probe chain from the 6M-row stream
+    # side. Inner-join associativity — identical rows.
+    ords = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(
@@ -87,18 +95,31 @@ def q5_revenue_by_nation(spark, sf):
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name", "r_name")
+    # Same broadcast bytes as before (the planner already broadcast the
+    # full orders projection), but the 6M-row lineitem side now probes
+    # ONE hash relation (orderkey -> nationkey) instead of a 4-deep
+    # BHJ chain, and the nation/region name joins run on the 25
+    # aggregated rows instead of 6M pre-agg rows. n_nationkey ->
+    # (n_name, r_name) is 1:1 (25 distinct nations), so grouping by
+    # c_nationkey partitions the rows identically — same sums, same
+    # row count.
+    okey_nation = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    agg = (
+        li.join(F.broadcast(okey_nation), li.l_orderkey == okey_nation.o_orderkey)
+        .groupBy("c_nationkey")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+    return (
+        agg.join(F.broadcast(nation), agg.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_name", "r_name", "revenue", "n_items")
     )
 
 
@@ -118,6 +139,17 @@ GROUP BY n_name, r_name
 # (politeness budget row_number <= k; ContentfulCrawler.java:133-149)
 def top3_orders_per_customer(spark, sf):
     orders = load(spark, sf, "orders")
+    # scan-starvation fix (few parquet row groups -> 2 scan tasks): the
+    # partial WindowGroupLimit sort would run 750k rows per core on 2
+    # cores; pre-partitioning by the window key moves the sort onto all
+    # slots and the window's own exchange is subsumed (same key). Only
+    # applied when the scan is narrower than the cluster — at scale the
+    # scan has >> slots partitions and the partial WindowGroupLimit
+    # prune before the exchange is worth more than this swap.
+    if orders.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        orders = orders.repartition(
+            spark.sparkContext.defaultParallelism, "o_custkey"
+        )
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -315,6 +347,11 @@ GROUP BY event_type
 # --- T-streaming analogue: gap sessionization in batch
 def sessionize_users(spark, sf):
     ev = load(spark, sf, "events")
+    # same scan-starvation fix as top3_orders_per_customer: the events
+    # file is ONE row group, so the window's partial sort would run on
+    # a single core; no-op when the scan is already wide.
+    if ev.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     return (

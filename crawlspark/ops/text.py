@@ -36,9 +36,13 @@ def token_stats(spark, sf):
         "doc_id",
         F.size(w).alias("n_tokens"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
+        # sum(length(token)) == length(text) - (n_tokens - 1) exactly:
+        # split(' ') partitions the string, so total chars = token chars
+        # + separator count, and both sides are integers exactly
+        # representable in double — bit-identical to the former
+        # O(n_tokens) interpreted aggregate() fold, at O(1) per row.
         F.round(
-            F.aggregate(w, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
-            / F.size(w),
+            (F.length("text") - F.size(w) + F.lit(1)).cast("double") / F.size(w),
             4,
         ).alias("avg_token_len"),
         # BPE-ish tokenization estimate: alpha runs split into <=4-char

@@ -77,6 +77,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when one side of a
+        # shuffle join is modestly sized (optimization guide §3.1/§9):
+        # skips both sort passes; AQE additionally rewrites planned
+        # sort-merge joins whose post-shuffle partitions are small.
+        # Size conditions keep this adaptive at every scale — a side
+        # too big for a per-partition hash map still sort-merges.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+        # AQE re-plans shuffle joins from ACTUAL runtime sizes; let it
+        # broadcast up to 64 MB (executors are sized in GB — the 10 MB
+        # default predates that). Static estimates keep the 10 MB
+        # default, so only measured-small sides convert: a relation
+        # that is genuinely corpus-sized at 100 TB never broadcasts.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         # concurrent round jobs (fan-out appends) queue tiny broadcast
         # builds behind long fetch stages; the 300s default times the
