@@ -47,7 +47,11 @@ def token_stats(spark, sf):
         ).alias("avg_token_len"),
         # BPE-ish tokenization estimate: alpha runs split into <=4-char
         # subword pieces, digits and punctuation one token each (the
-        # regex shape of byte-pair pretokenizers, deterministic here)
+        # regex shape of byte-pair pretokenizers, deterministic here).
+        # (Round 6 note: summing three regexp_count calls over the
+        # disjoint alternation branches is value-identical but 4x
+        # SLOWER — three full regex scans per row lose to one scan that
+        # materializes the match array. Measured and reverted.)
         F.size(
             F.expr(r"regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0)")
         ).alias("n_bpe_tokens"),
