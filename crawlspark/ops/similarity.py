@@ -254,29 +254,54 @@ _PROBE_MASKS = (
 def lsh_ann_topk(spark, sf):
     emb = load_spread(spark, sf, "embeddings")
     # both join sides (query probes and candidates) derive from the
-    # bucket entries; without a cache the Arrow-batched hashing UDF
+    # bucket relation; without a cache the Arrow-batched hashing UDF
     # would run twice over every embedding. The cached relation is
-    # (int, int, int) rows — tiny relative to the vectors.
-    entries = _bucket_entries(emb).cache()
+    # (int, array<int>[_TABLES]) rows — tiny relative to the vectors.
+    # Carrying the full per-table bucket ARRAY (round 6) lets the join
+    # emit each candidate from its MINIMAL matching table, replacing
+    # the former full-candidate .distinct() exchange.
+    udf = F.pandas_udf(_table_buckets_fn, "array<int>")
+    ent = emb.select("vec_id", udf("embedding").alias("barr")).cache()
     probes = F.array(*[F.lit(m) for m in _PROBE_MASKS])
     q_probe = (
-        entries.filter(F.col("vec_id") < _N_QUERIES * 10)
+        ent.filter(F.col("vec_id") < _N_QUERIES * 10)
         .select(
             F.col("vec_id").alias("qid"),
+            F.col("barr").alias("qarr"),
+            F.posexplode(F.col("barr")).alias("tbl", "qb"),
+        )
+        .select(
+            "qid",
+            "qarr",
             "tbl",
             F.explode(
-                F.transform(probes, lambda m: F.col("bucket").bitwiseXOR(m))
+                F.transform(probes, lambda m: F.col("qb").bitwiseXOR(m))
             ).alias("bucket"),
         )
     )
-    cand = entries.select(
-        F.col("vec_id").alias("nid"), "tbl", "bucket"
+    cand = ent.select(
+        F.col("vec_id").alias("nid"),
+        F.col("barr").alias("narr"),
+        F.posexplode(F.col("barr")).alias("tbl", "bucket"),
+    )
+    # FIRST-TABLE emission: within one table a candidate occupies one
+    # bucket and the probe masks are distinct, so (qid, nid) matches at
+    # most once per table; probing table t's Hamming<=2 neighborhood
+    # means "match in t'" is exactly bit_count(qarr[t'] ^ narr[t']) <= 2.
+    # Requiring every earlier table to NOT match keeps exactly the
+    # minimal matching table — each pair emitted exactly once, so the
+    # former .distinct() (an exchange of the whole candidate set) is
+    # provably a no-op and dropped. Pair multiset verified identical.
+    probe_depth = max(bin(m).count("1") for m in _PROBE_MASKS)
+    first_tbl = " AND ".join(
+        f"(tbl <= {t} OR bit_count(qarr[{t}] ^ narr[{t}]) > {probe_depth})"
+        for t in range(_TABLES - 1)
     )
     pairs = (
         q_probe.join(cand, ["tbl", "bucket"])
         .filter(F.col("qid") != F.col("nid"))
+        .filter(F.expr(first_tbl))
         .select("qid", "nid")
-        .distinct()
     )
     ql = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     nl = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("nv"))
